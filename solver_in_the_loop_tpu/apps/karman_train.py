@@ -1,0 +1,168 @@
+"""Karman SOL/NON training CLI.
+
+Replicates `python karman_train.py --train <hires-set> -m 32 -n 6 -b 3 ...`
+(/root/reference/karman-2d/karman_train.py; Makefile targets karman-fdt-non /
+karman-fdt-sol32, karman-2d/Makefile:73-80). See train/trainer.py for the
+TPU-first training-step design.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from solver_in_the_loop_tpu.models.features import Normalization
+from solver_in_the_loop_tpu.models.networks import build_model
+from solver_in_the_loop_tpu.parallel.mesh import data_parallel_mesh, batch_sharding, replicate
+from solver_in_the_loop_tpu.physics.karman import KarmanFlow, karman_domain
+from solver_in_the_loop_tpu.train import checkpoint as ckpt
+from solver_in_the_loop_tpu.train.dataset import EpochSchedule, load_karman_dataset
+from solver_in_the_loop_tpu.train.trainer import (
+    SolTrainConfig,
+    make_karman_train_step,
+    make_optimizer,
+    run_training,
+)
+from solver_in_the_loop_tpu.utils.metrics import MetricsWriter, setup_logging
+
+log = logging.getLogger(__name__)
+
+
+def build_parser(parser=None) -> argparse.ArgumentParser:
+    p = parser or argparse.ArgumentParser("karman-train")
+    p.add_argument("--train", required=True, help="hires training scene set")
+    p.add_argument("--skip-ds", action="store_true")
+    p.add_argument("--only-ds", action="store_true")
+    p.add_argument("--log", default=None)
+    p.add_argument("-s", "--scale", type=int, default=4)
+    p.add_argument("-n", "--nsims", type=int, default=1)
+    p.add_argument("-b", "--sbatch", type=int, default=1)
+    p.add_argument("-t", "--simsteps", type=int, default=1500, help="frames per sim")
+    p.add_argument("-m", "--msteps", type=int, default=2)
+    p.add_argument("-e", "--epochs", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("-l", "--len", type=float, default=100.0)
+    p.add_argument("--model", default="mars_moon")
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--adplr", action="store_true")
+    p.add_argument("--clip-grad", action="store_true")
+    p.add_argument("--resume", type=int, default=-1)
+    p.add_argument("--inittf", default=None, help="warm-start checkpoint (msgpack)")
+    p.add_argument("--pretf", default=None, help="supervised pre-trained checkpoint")
+    p.add_argument("--tf", default="/tmp/silt/tf", help="output dir (models, logs)")
+    p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--advect", choices=["gather", "shift"], default="shift")
+    p.add_argument("--max-shift", type=int, default=2)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 network compute")
+    p.add_argument("--dp", action="store_true", help="shard the batch over all devices")
+    return p
+
+
+def run(args):
+    setup_logging(args.log, args.resume)
+    if args.nsims % args.sbatch != 0:
+        args.nsims = (args.nsims // args.sbatch) * args.sbatch
+        log.info("nsims adjusted to %d (batch size divisibility)", args.nsims)
+    log.info("params: %s", vars(args))
+
+    data_np = load_karman_dataset(
+        args.train, num_frames=args.simsteps, num_sims=args.nsims,
+        scale=args.scale, skip_preprocessing=args.skip_ds,
+    )
+    if args.only_ds:
+        return None
+
+    stats = dict(data_np.stats)
+    if args.resume > 0:
+        stats = ckpt.load_stats(args.tf)
+    if args.pretf is not None:
+        import json, os
+        with open(os.path.join(os.path.dirname(args.pretf), "stats.json")) as f:
+            pre_stats = json.load(f)
+        stats["in.std"] = pre_stats["in.std"]
+        stats["out.std"] = pre_stats["out.std"]
+
+    if "in.std" in stats:
+        # supervised-init normalization contract (karman_train.py:352-356)
+        norm = Normalization(
+            jnp.asarray([stats["in.std"][0], stats["in.std"][1], stats["ext.std"]], jnp.float32),
+            jnp.asarray(stats["out.std"][:2], jnp.float32),
+        )
+    else:
+        norm = Normalization.karman(stats["std.v"], stats["std.u"], stats["ext.std"])
+
+    res_y, res_x = data_np.resolution
+    dom = karman_domain(res_x, args.len)
+    assert dom.resolution == (res_y, res_x), (dom.resolution, data_np.resolution)
+    flow = KarmanFlow(dom, advection=args.advect, max_shift=args.max_shift)
+
+    cfg = SolTrainConfig(
+        msteps=args.msteps, lr=args.lr, epochs=args.epochs, batch_size=args.sbatch,
+        adplr=args.adplr, clip_grad=args.clip_grad, remat=not args.no_remat,
+        seed=args.seed,
+    )
+    model = build_model(args.model, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    feat_shape = (args.sbatch, res_y, res_x, 3)
+    params = model.init(jax.random.PRNGKey(args.seed), jnp.zeros(feat_shape))
+    log.info("model %s: %d params", args.model, ckpt.param_count(params))
+
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+
+    if args.pretf:
+        params, _ = ckpt.load_checkpoint(args.pretf, params)
+        log.info("loaded pre-trained model %s", args.pretf)
+    if args.inittf:
+        params, _ = ckpt.load_checkpoint(args.inittf, params)
+        log.info("warm start from %s", args.inittf)
+    if args.resume > 0:
+        params, opt_state = ckpt.load_epoch_checkpoint(args.tf, args.resume, params, opt_state)
+        log.info("resumed from epoch %d", args.resume)
+    else:
+        ckpt.save_stats(args.tf, stats)
+
+    data = {
+        "dens": jnp.asarray(data_np.dens),
+        "u": jnp.asarray(data_np.u),
+        "v": jnp.asarray(data_np.v),
+        "re": jnp.asarray(data_np.re),
+    }
+    sharding = None
+    if args.dp:
+        mesh = data_parallel_mesh()
+        sharding = batch_sharding(mesh)
+        data = replicate(data, mesh)
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+        log.info("data-parallel over %d devices", mesh.size)
+
+    train_step = make_karman_train_step(flow, model.apply, optimizer, cfg)
+    schedule = EpochSchedule(args.nsims, args.simsteps, args.sbatch, seed=args.seed)
+    writer = MetricsWriter(args.tf)
+
+    def on_epoch_end(epoch, params_, opt_state_):
+        if epoch % 10 == 9:
+            ckpt.save_checkpoint(args.tf, params_, opt_state_, epoch=epoch + 1)
+
+    result = run_training(
+        train_step, params, opt_state, data, norm, schedule, cfg,
+        start_epoch=max(args.resume, 0), on_epoch_end=on_epoch_end,
+        metrics_writer=writer, sharding=sharding,
+    )
+    ckpt.save_checkpoint(args.tf, result.params)
+    writer.close()
+    log.info("final loss %.6f; %.4f sec/iter", result.losses[-1], result.sec_per_iter)
+    return result
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    return run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Scene on-disk I/O, byte-compatible with the reference's PhiFlow layout.
+
+Layout (SURVEY.md §2.2 'Scene I/O'; /root/reference/karman-2d/karman.py:128,143-147):
+  <parent>/sim_%06d/
+      params.pickle            (run params; 're' is read back as data metadata,
+                                karman_train.py:246-249)
+      <name>_%06d.npz          one array under the npz default key
+
+Legacy array conventions (quarantined HERE, nowhere else):
+* centered field:  (1, Y, X, 1)
+* staggered field: (1, Y+1, X+1, 2) where the on-disk channel order is
+  [u, v] — PhiFlow's read/write reverse the in-memory [v, u] order, noted at
+  /root/reference/karman-2d/karman.py:104. Component u occupies rows 0..Y-1
+  (top row zero-padded), v occupies cols 0..X-1 (right column zero-padded).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import re as _re
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def staggered_to_legacy(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """(B, Y, X+1), (B, Y+1, X) -> on-disk (B, Y+1, X+1, 2) with [...,0]=u, [...,1]=v."""
+    b, y, _ = u.shape
+    x = v.shape[2]
+    out = np.zeros((b, y + 1, x + 1, 2), np.float32)
+    out[:, :-1, :, 0] = u
+    out[:, :, :-1, 1] = v
+    return out
+
+
+def legacy_to_staggered(arr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """on-disk (B, Y+1, X+1, 2) -> (u (B, Y, X+1), v (B, Y+1, X))."""
+    u = arr[:, :-1, :, 0]
+    v = arr[:, :, :-1, 1]
+    return np.ascontiguousarray(u), np.ascontiguousarray(v)
+
+
+def centered_to_legacy(values: np.ndarray) -> np.ndarray:
+    return values[..., None].astype(np.float32)
+
+
+def legacy_to_centered(arr: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(arr[..., 0])
+
+
+def read_array(path: str) -> np.ndarray:
+    """Load an npz frame in the legacy layout (batch dim guaranteed)."""
+    with np.load(path) as f:
+        arr = f[f.files[-1]]
+    if arr.ndim < 4:
+        arr = arr[None]
+    return arr
+
+
+def write_array(path: str, arr: np.ndarray) -> None:
+    np.savez_compressed(path, arr.astype(np.float32))
+
+
+class Scene:
+    """A sim_%06d output directory of npz frames + params metadata."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    @classmethod
+    def create(cls, parent: str) -> "Scene":
+        os.makedirs(parent, exist_ok=True)
+        existing = [
+            int(m.group(1))
+            for d in os.listdir(parent)
+            if (m := _re.fullmatch(r"sim_(\d{6})", d))
+        ]
+        idx = max(existing, default=-1) + 1
+        return cls(os.path.join(parent, f"sim_{idx:06d}"))
+
+    @classmethod
+    def list(cls, parent: str):
+        dirs = sorted(
+            d for d in os.listdir(parent) if _re.fullmatch(r"sim_\d{6}", d)
+        ) if os.path.isdir(parent) else []
+        return [cls(os.path.join(parent, d)) for d in dirs]
+
+    # --- params -----------------------------------------------------------
+    def write_params(self, params: dict) -> None:
+        with open(os.path.join(self.path, "params.pickle"), "wb") as f:
+            pickle.dump(params, f)
+        with open(os.path.join(self.path, "params.json"), "w") as f:
+            json.dump({k: v for k, v in params.items() if _json_ok(v)}, f, indent=1)
+
+    def read_params(self) -> dict:
+        p = os.path.join(self.path, "params.pickle")
+        if os.path.isfile(p):
+            with open(p, "rb") as f:
+                return pickle.load(f)
+        with open(os.path.join(self.path, "params.json")) as f:
+            return json.load(f)
+
+    # --- frames -----------------------------------------------------------
+    def frame_path(self, name: str, frame: int) -> str:
+        return os.path.join(self.path, f"{name}_{frame:06d}.npz")
+
+    def write_centered(self, name: str, frame: int, values: np.ndarray) -> None:
+        write_array(self.frame_path(name, frame), centered_to_legacy(np.asarray(values)))
+
+    def write_staggered(self, name: str, frame: int, u: np.ndarray, v: np.ndarray) -> None:
+        write_array(
+            self.frame_path(name, frame), staggered_to_legacy(np.asarray(u), np.asarray(v))
+        )
+
+    def read_centered(self, name: str, frame: int) -> np.ndarray:
+        return legacy_to_centered(read_array(self.frame_path(name, frame)))
+
+    def read_staggered(self, name: str, frame: int) -> Tuple[np.ndarray, np.ndarray]:
+        return legacy_to_staggered(read_array(self.frame_path(name, frame)))
+
+    def frames(self, name: str):
+        pat = _re.compile(rf"{name}_(\d{{6}})\.npz")
+        return sorted(
+            int(m.group(1)) for fn in os.listdir(self.path) if (m := pat.fullmatch(fn))
+        )
+
+
+def _json_ok(v) -> bool:
+    try:
+        json.dumps(v)
+        return True
+    except TypeError:
+        return False

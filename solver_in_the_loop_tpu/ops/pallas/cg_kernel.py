@@ -1,0 +1,98 @@
+"""Fused conjugate-gradient Pallas TPU kernel for the masked Poisson system.
+
+Solves, per batch element,  A x = b  with
+    A(p) = fluid * -[ me*(E p) + mw*(W p) + mn*(N p) + ms*(S p) - diag*p ]
+           + (1-fluid) * p
+where E/W/N/S are neighbour shifts with Dirichlet-0 ghosts (OPEN boundaries)
+and me/mw/mn/ms are per-cell face accessibility masks (obstacles).
+
+The whole CG loop runs inside one kernel with every vector in VMEM: zero
+per-iteration dispatch cost, per-batch-element early exit on convergence.
+This is the TPU-native replacement for the reference's optional native CUDA
+pressure solver (/root/reference/karman-2d/karman_train.py:51).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _neighbor_shifts(p: jnp.ndarray):
+    """(E, W, N, S) neighbour values with zero ghosts; p is (H, W)."""
+    h, w = p.shape
+    col = lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    row = lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    # pltpu.roll requires non-negative shifts: roll(+k)[i] == p[i-k] (wraps)
+    p_e = pltpu.roll(p, shift=w - 1, axis=1) * (col < w - 1)
+    p_w = pltpu.roll(p, shift=1, axis=1) * (col > 0)
+    p_n = pltpu.roll(p, shift=h - 1, axis=0) * (row < h - 1)
+    p_s = pltpu.roll(p, shift=1, axis=0) * (row > 0)
+    return p_e, p_w, p_n, p_s
+
+
+def _cg_kernel(b_ref, fluid_ref, me_ref, mw_ref, mn_ref, ms_ref, diag_ref, x_ref,
+               *, tol: float, max_iter: int):
+    b = b_ref[0]
+    fluid = fluid_ref[0]
+    me, mw, mn, ms = me_ref[0], mw_ref[0], mn_ref[0], ms_ref[0]
+    diag = diag_ref[0]
+    solid = 1.0 - fluid
+
+    def apply_a(p):
+        p_e, p_w, p_n, p_s = _neighbor_shifts(p)
+        lap = me * p_e + mw * p_w + mn * p_n + ms * p_s - diag * p
+        return fluid * (-lap) + solid * p
+
+    bb = jnp.sum(b * b)
+    thresh = (tol * tol) * jnp.maximum(bb, 1e-30)
+
+    def cond(state):
+        i, _x, _r, _p, rs = state
+        return jnp.logical_and(i < max_iter, rs > thresh)
+
+    def body(state):
+        i, x, r, pv, rs = state
+        ap = apply_a(pv)
+        p_ap = jnp.sum(pv * ap)
+        safe = jnp.where(p_ap == 0.0, 1.0, p_ap)
+        alpha = jnp.where(p_ap == 0.0, 0.0, rs / safe)
+        x = x + alpha * pv
+        r = r - alpha * ap
+        rs_new = jnp.sum(r * r)
+        beta = rs_new / jnp.where(rs == 0.0, 1.0, rs)
+        pv = r + beta * pv
+        return (i + 1, x, r, pv, rs_new)
+
+    x0 = jnp.zeros_like(b)
+    _, x, _, _, _ = lax.while_loop(cond, body, (jnp.int32(0), x0, b, b, bb))
+    x_ref[0] = x
+
+
+@functools.partial(jax.jit, static_argnames=("tol", "max_iter", "interpret"))
+def fused_cg_solve(b, fluid, face_u, face_v, tol: float = 1e-5, max_iter: int = 1000,
+                   interpret: bool = False):
+    """b (B, H, W); fluid (1, H, W); face_u (1, H, W+1); face_v (1, H+1, W)."""
+    bsz, h, w = b.shape
+    me = face_u[:, :, 1:]
+    mw = face_u[:, :, :-1]
+    mn = face_v[:, 1:, :]
+    ms = face_v[:, :-1, :]
+    diag = me + mw + mn + ms
+
+    block = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    shared = pl.BlockSpec((1, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_cg_kernel, tol=tol, max_iter=max_iter),
+        grid=(bsz,),
+        out_shape=jax.ShapeDtypeStruct(b.shape, b.dtype),
+        in_specs=[block, shared, shared, shared, shared, shared, shared],
+        out_specs=block,
+        interpret=interpret,
+    )(b, fluid, me, mw, mn, ms, diag)

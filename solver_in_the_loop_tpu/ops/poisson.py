@@ -1,0 +1,184 @@
+"""Masked Poisson solve and pressure projection (make_incompressible).
+
+This is the TPU-native replacement for PhiFlow's pressure solver *and* its
+optional native CUDA solver (`phi.tf.tf_cuda_pressuresolver.CUDASolver`,
+enabled via --cuda at /root/reference/karman-2d/karman_train.py:23,51).
+Call-site semantics: `fluid.make_incompressible(velocity, obstacles)`
+(/root/reference/karman-2d-phi2/karman.py:103-104) and standalone
+`divergence_free(velocity, domain, obstacles, ...)`
+(/root/reference/karman-2d/karman_pre.py:375).
+
+Design: matrix-free conjugate gradient on the masked 5-point Poisson operator
+(`ops.stencils.masked_laplacian`), run under `lax.custom_linear_solve` so the
+backward pass is an *adjoint solve with the same operator* (symmetric PD),
+never a backprop through CG iterations. A fused Pallas kernel backend
+(`ops.pallas.cg`) runs the whole CG loop in VMEM on TPU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from solver_in_the_loop_tpu.core.grids import Domain, StaggeredGrid
+from solver_in_the_loop_tpu.ops.stencils import divergence, masked_laplacian, pressure_gradient
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ProjectionMasks:
+    """Precomputed accessibility masks for a domain with obstacles.
+
+    fluid  (1, Y, X):   1 where the cell is fluid (outside all obstacles)
+    face_u (1, Y, X+1): 1 where flow may cross the u-face (both neighbour cells
+                        fluid; domain-edge faces are 1 for OPEN boundaries)
+    face_v (1, Y+1, X): likewise for v-faces
+    """
+
+    fluid: jnp.ndarray
+    face_u: jnp.ndarray
+    face_v: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.fluid, self.face_u, self.face_v), None
+
+    @classmethod
+    def tree_unflatten(cls, _aux, children):
+        return cls(*children)
+
+
+def masks_from_fluid_cells(fluid: jnp.ndarray, domain: Domain) -> ProjectionMasks:
+    """Build face masks from a (1, Y, X) fluid-cell indicator.
+
+    OPEN boundaries treat the outside as accessible fluid with Dirichlet p=0
+    ghosts; PERIODIC wraps neighbours.
+    """
+    mode = "wrap" if domain.periodic else "constant"
+    fx = jnp.pad(fluid, ((0, 0), (0, 0), (1, 1)), mode=mode, **(
+        {"constant_values": 1.0} if mode == "constant" else {}))
+    fy = jnp.pad(fluid, ((0, 0), (1, 1), (0, 0)), mode=mode, **(
+        {"constant_values": 1.0} if mode == "constant" else {}))
+    face_u = fx[:, :, 1:] * fx[:, :, :-1]
+    face_v = fy[:, 1:, :] * fy[:, :-1, :]
+    return ProjectionMasks(fluid=fluid, face_u=face_u, face_v=face_v)
+
+
+def open_domain_masks(domain: Domain, fluid: Optional[jnp.ndarray] = None) -> ProjectionMasks:
+    if fluid is None:
+        fluid = jnp.ones((1,) + tuple(domain.resolution), jnp.float32)
+    return masks_from_fluid_cells(fluid, domain)
+
+
+def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Per-batch inner product over spatial axes: (B, Y, X) x 2 -> (B, 1, 1)."""
+    return jnp.sum(a * b, axis=(1, 2), keepdims=True)
+
+
+def cg_solve(matvec, b: jnp.ndarray, tol: float, max_iter: int) -> jnp.ndarray:
+    """Batched matrix-free CG: solves matvec(x) = b per batch element.
+
+    Stops when every batch element's residual norm falls below
+    tol * ||b||, or at max_iter. Runs as a lax.while_loop with all state on
+    device; tiny karman-scale systems are instead dispatched to the fused
+    Pallas kernel by `solve_pressure` (ops/pallas/cg.py).
+    """
+    b_norm_sq = _dot(b, b)
+    thresh = (tol * tol) * jnp.maximum(b_norm_sq, 1e-30)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    rs0 = b_norm_sq
+
+    def cond(state):
+        i, _x, _r, _p, rs = state
+        return jnp.logical_and(i < max_iter, jnp.any(rs > thresh))
+
+    def body(state):
+        i, x, r, p, rs = state
+        ap = matvec(p)
+        p_ap = _dot(p, ap)
+        alpha = rs / jnp.where(p_ap == 0, 1.0, p_ap)
+        alpha = jnp.where(p_ap == 0, 0.0, alpha)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = _dot(r, r)
+        beta = rs_new / jnp.where(rs == 0, 1.0, rs)
+        p = r + beta * p
+        return (i + 1, x, r, p, rs_new)
+
+    _, x, _, _, _ = lax.while_loop(cond, body, (jnp.int32(0), x0, r0, r0, rs0))
+    return x
+
+
+@partial(jax.jit, static_argnames=("periodic", "tol", "max_iter", "backend"))
+def solve_pressure(
+    div: jnp.ndarray,
+    masks: ProjectionMasks,
+    periodic: bool = False,
+    tol: float = 1e-5,
+    max_iter: int = 1000,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Solve div(mask*grad(p)) = div on fluid cells (p = 0 in obstacles).
+
+    Differentiable via lax.custom_linear_solve: the VJP solves the same SPD
+    system (implicit-function adjoint), independent of the iteration count.
+    """
+    fluid = masks.fluid
+
+    def matvec(p):
+        lp = masked_laplacian(p, masks.face_u, masks.face_v, periodic=periodic)
+        return jnp.where(fluid > 0, -lp, p)
+
+    rhs = jnp.where(fluid > 0, -div, 0.0)
+
+    use_pallas = False
+    if backend == "pallas":
+        use_pallas = True
+    elif backend == "auto":
+        from solver_in_the_loop_tpu.ops.pallas.cg import pallas_cg_available
+
+        use_pallas = pallas_cg_available(rhs.shape, periodic)
+
+    if use_pallas:
+        from solver_in_the_loop_tpu.ops.pallas.cg import pallas_cg_solve
+
+        def solve_fn(_mv, b):
+            return pallas_cg_solve(b, masks, tol=tol, max_iter=max_iter)
+    else:
+        def solve_fn(mv, b):
+            return cg_solve(mv, b, tol=tol, max_iter=max_iter)
+
+    return lax.custom_linear_solve(matvec, rhs, solve_fn, symmetric=True)
+
+
+def make_incompressible(
+    velocity: StaggeredGrid,
+    masks: ProjectionMasks,
+    tol: float = 1e-5,
+    max_iter: int = 1000,
+    backend: str = "auto",
+):
+    """Project a MAC velocity to a divergence-free field (PhiFlow parity).
+
+    1. zero velocity on inaccessible faces (hard obstacle BCs)
+    2. solve the masked Poisson system for pressure
+    3. subtract the masked pressure gradient
+
+    Returns (velocity, pressure).
+    """
+    dom = velocity.domain
+    periodic = dom.periodic
+    u = velocity.u * masks.face_u
+    v = velocity.v * masks.face_v
+    div = divergence(u, v)
+    p = solve_pressure(div, masks, periodic=periodic, tol=tol, max_iter=max_iter, backend=backend)
+    gu, gv = pressure_gradient(p, periodic=periodic)
+    u = u - gu * masks.face_u
+    v = v - gv * masks.face_v
+    return StaggeredGrid(u, v, dom), p

@@ -1,0 +1,313 @@
+"""Unrolled "solver-in-the-loop" training (SOL / NON).
+
+Reference structure (/root/reference/karman-2d/karman_train.py:397-457):
+per ADAM iteration, unroll msteps of [solver step -> normalized conv-net
+correction -> add correction], with an L2 loss against ground truth at every
+unrolled step; backprop traverses all solver steps and network applications
+(the differentiable-physics core).
+
+TPU-first design:
+* ONE jitted train step: `lax.scan` over the msteps unroll with optional
+  `jax.checkpoint` (remat) per step — compile once, no 32x graph replication.
+* the whole downsampled dataset lives in device HBM; per-iteration ground
+  truth windows are gathered on device from (sim, frame) index pairs — the
+  per-iteration host->device traffic is a (B, 2) int32 array (the reference
+  feeds 33 full frames per iteration, karman_train.py:500-502).
+* optax Adam; optional per-leaf grad-norm clipping (clip_norm=0.001,
+  karman_train.py:451-454) and the reference's step lr schedule (:146-163).
+* data-parallel over a device mesh: batch-sharded gathers + replicated params;
+  XLA inserts the gradient all-reduce over ICI (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from solver_in_the_loop_tpu.core.grids import CenteredGrid, StaggeredGrid
+from solver_in_the_loop_tpu.models.features import (
+    Normalization,
+    burgers_features,
+    correction_to_staggered,
+    karman_features,
+)
+from solver_in_the_loop_tpu.physics.burgers import BurgersFlow
+from solver_in_the_loop_tpu.physics.karman import KarmanFlow
+from solver_in_the_loop_tpu.train.dataset import BurgersDataset, EpochSchedule, KarmanDataset
+
+log = logging.getLogger(__name__)
+
+
+def lr_schedule_step(epoch: int, current_lr: float) -> float:
+    """Adaptive schedule (--adplr): x0.1 at epochs 11/16/21, x0.5 at 23
+    (karman_train.py:146-163; `epoch` is 0-based here, the reference passes the
+    0-based loop variable)."""
+    if epoch == 23:
+        return current_lr * 0.5
+    if epoch in (11, 16, 21):
+        return current_lr * 0.1
+    return current_lr
+
+
+def clip_by_leaf_norm(max_norm: float) -> optax.GradientTransformation:
+    """tf.clip_by_norm per variable (karman_train.py:453)."""
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip(g):
+            n = jnp.sqrt(jnp.sum(g * g))
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(n, 1e-20))
+            return g * scale
+
+        return jax.tree_util.tree_map(clip, updates), state
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(), update_fn)
+
+
+def l2_loss(diff_vu: jnp.ndarray) -> jnp.ndarray:
+    """tf.nn.l2_loss: sum(x^2)/2 over everything (karman_train.py:430)."""
+    return 0.5 * jnp.sum(diff_vu * diff_vu)
+
+
+@dataclasses.dataclass
+class SolTrainConfig:
+    msteps: int = 32
+    lr: float = 1e-4
+    epochs: int = 100
+    batch_size: int = 3
+    adplr: bool = False
+    clip_grad: bool = False
+    remat: bool = True
+    seed: int = 0
+    dt: float = 1.0
+    log_every: int = 50
+
+
+def make_optimizer(cfg: SolTrainConfig) -> optax.GradientTransformation:
+    chain = []
+    if cfg.clip_grad:
+        chain.append(clip_by_leaf_norm(0.001))
+    chain.append(optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr))
+    return optax.chain(*chain)
+
+
+def _window_gather(arr: jnp.ndarray, sim_idx: jnp.ndarray, frame0: jnp.ndarray, n: int):
+    """arr (S, F, ...) -> (n, B, ...) frames [frame0 .. frame0+n) per batch row."""
+    frames = frame0[None, :] + jnp.arange(n, dtype=frame0.dtype)[:, None]  # (n, B)
+    return arr[sim_idx[None, :].repeat(n, axis=0), frames]
+
+
+# --------------------------------------------------------------------------
+# Karman SOL/NON
+# --------------------------------------------------------------------------
+
+def make_karman_train_step(
+    flow: KarmanFlow,
+    model_apply: Callable,
+    optimizer: optax.GradientTransformation,
+    cfg: SolTrainConfig,
+):
+    """Build the jitted (params, opt_state, data, idx) -> ... train step.
+
+    data: dict of device arrays {dens (S,F,Y,X), u, v, re (S,)} + Normalization.
+    idx: (B, 2) int32 (sim, frame0) pairs.
+    """
+    dom = flow.domain
+    msteps = cfg.msteps
+
+    def step_with_correction(params, norm, dens, vel, re_batch):
+        dens, vel, _p = flow.step(dens, vel, re_batch, dt=cfg.dt)
+        feat = karman_features(vel, re_batch, norm)
+        corr = correction_to_staggered(model_apply(params, feat), norm, dom)
+        vel = vel + corr
+        return dens, vel
+
+    if cfg.remat:
+        step_with_correction = jax.checkpoint(step_with_correction, static_argnums=())
+
+    def loss_fn(params, data, norm: Normalization, idx):
+        sim_idx = idx[:, 0]
+        frame0 = idx[:, 1]
+        d0 = CenteredGrid(data["dens"][sim_idx, frame0], dom)
+        v0 = StaggeredGrid(data["u"][sim_idx, frame0], data["v"][sim_idx, frame0], dom)
+        re_batch = data["re"][sim_idx]
+
+        gt_u = _window_gather(data["u"], sim_idx, frame0 + 1, msteps)  # (m, B, Y, X+1)
+        gt_v = _window_gather(data["v"], sim_idx, frame0 + 1, msteps)
+
+        std_v = norm.out_scales[0]
+        std_u = norm.out_scales[1]
+
+        def body(carry, gt):
+            dens, vel = carry
+            gtu, gtv = gt
+            dens, vel = step_with_correction(params, norm, dens, vel, re_batch)
+            step_loss = l2_loss((gtv - vel.v) / std_v) + l2_loss((gtu - vel.u) / std_u)
+            return (dens, vel), step_loss
+
+        (_, _), step_losses = jax.lax.scan(body, (d0, v0), (gt_u, gt_v))
+        return jnp.sum(step_losses) / msteps, step_losses
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, data, norm, idx):
+        (loss, step_losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, data, norm, idx
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, step_losses
+
+    return train_step
+
+
+# --------------------------------------------------------------------------
+# Burgers SOL/NON
+# --------------------------------------------------------------------------
+
+def make_burgers_train_step(
+    flow: BurgersFlow,
+    model_apply: Callable,
+    optimizer: optax.GradientTransformation,
+    cfg: SolTrainConfig,
+    use_force: bool = True,
+):
+    """Burgers variant: features [v,u,fv,fu], per-step force from the dataset
+    (burgers_train.py:379-417); --noforce drops the force channels."""
+    dom = flow.domain
+    msteps = cfg.msteps
+
+    def step_with_correction(params, norm, vel, force):
+        if use_force:
+            vel = flow.step_with_f(vel, force, dt=cfg.dt)
+            feat = burgers_features(vel, force, norm)
+        else:
+            vel = flow.step(vel, dt=cfg.dt)
+            feat = burgers_features(vel, None, norm)
+        corr = correction_to_staggered(model_apply(params, feat), norm, dom)
+        return vel + corr
+
+    if cfg.remat:
+        step_with_correction = jax.checkpoint(step_with_correction)
+
+    def loss_fn(params, data, norm: Normalization, idx):
+        sim_idx = idx[:, 0]
+        frame0 = idx[:, 1]
+        v0 = StaggeredGrid(data["u"][sim_idx, frame0], data["v"][sim_idx, frame0], dom)
+
+        gt_u = _window_gather(data["u"], sim_idx, frame0 + 1, msteps)
+        gt_v = _window_gather(data["v"], sim_idx, frame0 + 1, msteps)
+        # per-step forces: frames frame0 .. frame0+msteps-1 (the force applied
+        # during step i is the one stored with the pre-step frame)
+        f_u = _window_gather(data["fu"], sim_idx, frame0, msteps)
+        f_v = _window_gather(data["fv"], sim_idx, frame0, msteps)
+
+        std_v = norm.out_scales[0]
+        std_u = norm.out_scales[1]
+
+        def body(vel, per_step):
+            gtu, gtv, fu, fv = per_step
+            force = StaggeredGrid(fu, fv, dom)
+            vel = step_with_correction(params, norm, vel, force)
+            step_loss = l2_loss((gtv - vel.v) / std_v) + l2_loss((gtu - vel.u) / std_u)
+            return vel, step_loss
+
+        _, step_losses = jax.lax.scan(body, v0, (gt_u, gt_v, f_u, f_v))
+        return jnp.sum(step_losses) / msteps, step_losses
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, data, norm, idx):
+        (loss, step_losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, data, norm, idx
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, step_losses
+
+    return train_step
+
+
+# --------------------------------------------------------------------------
+# Training loop driver (shared)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class TrainResult:
+    params: Any
+    opt_state: Any
+    losses: list
+    sec_per_iter: float
+
+
+def run_training(
+    train_step,
+    params,
+    opt_state,
+    data: Dict[str, jnp.ndarray],
+    norm: Normalization,
+    schedule: EpochSchedule,
+    cfg: SolTrainConfig,
+    start_epoch: int = 0,
+    on_epoch_end: Optional[Callable] = None,
+    metrics_writer=None,
+    sharding=None,
+) -> TrainResult:
+    """Epoch loop mirroring karman_train.py:483-514; resume skips epochs while
+    consuming the shuffle schedule so the data order stays reproducible."""
+    current_lr = cfg.lr
+    losses = []
+    global_step = 0
+    iter_times = []
+    for epoch in range(cfg.epochs):
+        idx_epoch = schedule.epoch_indices(cfg.msteps)
+        if epoch < start_epoch:
+            global_step += idx_epoch.shape[0]
+            continue
+        current_lr = lr_schedule_step(epoch, current_lr) if cfg.adplr else cfg.lr
+        opt_state = set_learning_rate(opt_state, current_lr)
+        for it in range(idx_epoch.shape[0]):
+            idx = jnp.asarray(idx_epoch[it])
+            if sharding is not None:
+                idx = jax.device_put(idx, sharding)
+            t0 = time.perf_counter()
+            params, opt_state, loss, step_losses = train_step(params, opt_state, data, norm, idx)
+            loss_f = float(loss)
+            iter_times.append(time.perf_counter() - t0)
+            losses.append(loss_f)
+            if metrics_writer is not None:
+                metrics_writer.scalar("loss", loss_f, global_step)
+                metrics_writer.scalar("lr", current_lr, global_step)
+            if it % cfg.log_every == 0:
+                log.info(
+                    "epoch %03d/%03d it %04d/%04d loss=%.6f lr=%.2e",
+                    epoch + 1, cfg.epochs, it + 1, idx_epoch.shape[0], loss_f, current_lr,
+                )
+            global_step += 1
+        if on_epoch_end is not None:
+            on_epoch_end(epoch, params, opt_state)
+    # steady-state sec/iter: drop the first (compile) iterations
+    tail = iter_times[min(5, len(iter_times) - 1):] or [0.0]
+    return TrainResult(params, opt_state, losses, float(np.mean(tail)))
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected Adam learning rate inside the optax state pytree
+    (inject_hyperparams exposes a 'hyperparams' dict on its state)."""
+
+    def replace(state):
+        if hasattr(state, "hyperparams") and "learning_rate" in getattr(state, "hyperparams", {}):
+            state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        if isinstance(state, tuple) and not hasattr(state, "hyperparams"):
+            for s in state:
+                replace(s)
+        return state
+
+    return replace(opt_state)

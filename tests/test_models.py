@@ -1,0 +1,93 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from solver_in_the_loop_tpu.core.grids import Domain, StaggeredGrid
+from solver_in_the_loop_tpu.models.features import (
+    Normalization,
+    burgers_features,
+    correction_to_staggered,
+    karman_features,
+)
+from solver_in_the_loop_tpu.models.networks import build_model
+from solver_in_the_loop_tpu.train.checkpoint import param_count
+
+
+def test_mars_moon_param_count_and_shapes():
+    """Exact architecture parity: stem 3->32 (2,432) + 5 res blocks of two
+    5x5x32x32 convs (5 x 51,264) + 32->2 head (1,602) = 260,354 params.
+    (SURVEY.md §2.3 quotes ~570k; the layer-by-layer count of the reference
+    model at karman_train.py:101-138 is 260,354.)"""
+    model = build_model("mars_moon")
+    x = jnp.zeros((2, 64, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    n = param_count(params)
+    assert n == 260_354, n
+    out = model.apply(params, x)
+    assert out.shape == (2, 64, 32, 2)
+    # fully convolutional: different input resolution reuses the same params
+    out2 = model.apply(params, jnp.zeros((1, 32, 16, 3)))
+    assert out2.shape == (1, 32, 16, 2)
+
+
+def test_mercury_shapes():
+    model = build_model("mercury")
+    x = jnp.zeros((1, 16, 16, 4))
+    params = model.init(jax.random.PRNGKey(0), x)
+    assert model.apply(params, x).shape == (1, 16, 16, 2)
+
+
+def test_jupiter_moon_shapes():
+    model = build_model("jupiter_moon")
+    x = jnp.zeros((1, 16, 16, 4))
+    params = model.init(jax.random.PRNGKey(0), x)
+    assert model.apply(params, x).shape == (1, 16, 16, 2)
+
+
+def test_unknown_model_raises():
+    import pytest
+
+    with pytest.raises(KeyError):
+        build_model("nonexistent")
+
+
+def test_karman_features_normalization():
+    dom = Domain((8, 4), (8.0, 4.0))
+    rng = np.random.RandomState(0)
+    vel = StaggeredGrid(
+        jnp.asarray(rng.randn(2, 8, 5).astype(np.float32)),
+        jnp.asarray(rng.randn(2, 9, 4).astype(np.float32)),
+        dom,
+    )
+    norm = Normalization.karman(2.0, 4.0, 1e5)
+    re = jnp.asarray([1e5, 2e5])
+    feat = karman_features(vel, re, norm)
+    assert feat.shape == (2, 8, 4, 3)
+    np.testing.assert_allclose(np.asarray(feat[..., 0]), np.asarray(vel.v[:, :-1, :]) / 2.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(feat[..., 1]), np.asarray(vel.u[:, :, :-1]) / 4.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(feat[0, :, :, 2]), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(feat[1, :, :, 2]), 2.0, rtol=1e-6)
+
+
+def test_correction_scaling_roundtrip():
+    dom = Domain((8, 4), (8.0, 4.0))
+    norm = Normalization.karman(2.0, 4.0, 1.0)
+    out = jnp.ones((1, 8, 4, 2))
+    corr = correction_to_staggered(out, norm, dom)
+    np.testing.assert_allclose(np.asarray(corr.v[:, :-1, :]), 2.0)
+    np.testing.assert_allclose(np.asarray(corr.u[:, :, :-1]), 4.0)
+    np.testing.assert_allclose(np.asarray(corr.v[:, -1, :]), 0.0)
+    np.testing.assert_allclose(np.asarray(corr.u[:, :, -1]), 0.0)
+
+
+def test_burgers_features():
+    dom = Domain((8, 8), (8.0, 8.0))
+    vel = dom.staggered_grid(1.0, 2.0)
+    force = dom.staggered_grid(3.0, 4.0)
+    norm = Normalization.burgers(1.0, 1.0, 1.0, 1.0)
+    feat = burgers_features(vel, force, norm)
+    assert feat.shape == (1, 8, 8, 4)
+    np.testing.assert_allclose(np.asarray(feat[..., 0]), 2.0)  # v
+    np.testing.assert_allclose(np.asarray(feat[..., 1]), 1.0)  # u
+    np.testing.assert_allclose(np.asarray(feat[..., 2]), 4.0)  # fv
+    np.testing.assert_allclose(np.asarray(feat[..., 3]), 3.0)  # fu

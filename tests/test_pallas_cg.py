@@ -1,0 +1,51 @@
+"""Fused Pallas CG kernel vs the XLA while_loop CG (interpret mode on CPU).
+
+CG is deterministic: truncated at the same iteration count from the same
+start, the fused kernel and the XLA loop must produce the same iterate — so a
+small max_iter keeps interpret mode fast while still checking every part of
+the kernel (masked operator, dots, alpha/beta updates, convergence test).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from solver_in_the_loop_tpu.core.grids import Boundary, Domain
+from solver_in_the_loop_tpu.ops.pallas.cg_kernel import fused_cg_solve
+from solver_in_the_loop_tpu.ops.poisson import cg_solve, masks_from_fluid_cells
+from solver_in_the_loop_tpu.ops.stencils import masked_laplacian
+from solver_in_the_loop_tpu.physics.geometry import sphere_fluid_mask
+
+
+def test_fused_cg_matches_xla_cg_truncated():
+    dom = Domain((8, 8), (8.0, 8.0), Boundary.OPEN)
+    fluid = sphere_fluid_mask(dom, (4.0, 4.0), 1.5)
+    masks = masks_from_fluid_cells(fluid, dom)
+    rng = np.random.RandomState(0)
+    div = jnp.asarray(rng.randn(2, 8, 8).astype(np.float32))
+    rhs = jnp.where(fluid > 0, -div, 0.0)
+
+    def matvec(p):
+        lp = masked_laplacian(p, masks.face_u, masks.face_v)
+        return jnp.where(fluid > 0, -lp, p)
+
+    for iters in (5, 40):
+        p_ref = cg_solve(matvec, rhs, tol=1e-12, max_iter=iters)
+        p_pal = fused_cg_solve(
+            rhs, masks.fluid, masks.face_u, masks.face_v,
+            tol=1e-12, max_iter=iters, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(p_pal), np.asarray(p_ref), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_cg_converges():
+    """40 iters on an 8x8 open box: residual should be tiny."""
+    dom = Domain((8, 8), (8.0, 8.0), Boundary.OPEN)
+    fluid = jnp.ones((1, 8, 8), jnp.float32)
+    masks = masks_from_fluid_cells(fluid, dom)
+    rng = np.random.RandomState(1)
+    rhs = jnp.asarray(rng.randn(1, 8, 8).astype(np.float32))
+    x = fused_cg_solve(rhs, masks.fluid, masks.face_u, masks.face_v,
+                       tol=1e-8, max_iter=80, interpret=True)
+    lp = masked_laplacian(x, masks.face_u, masks.face_v)
+    residual = rhs - (-lp)
+    assert float(jnp.max(jnp.abs(residual))) < 1e-3
