@@ -1,0 +1,100 @@
+"""Burgers PRE rollout CLI: PRE-normalized correction model, forces replayed.
+
+Replicates `python burgers_apply_pre.py` (/root/reference/burgers/
+burgers_apply_pre.py, structure mirrors karman_apply_pre; SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as _glob
+import json
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from solver_in_the_loop_tpu.core.grids import StaggeredGrid
+from solver_in_the_loop_tpu.core.resample import downsample_staggered
+from solver_in_the_loop_tpu.io import scene as scene_io
+from solver_in_the_loop_tpu.io.scene import Scene
+from solver_in_the_loop_tpu.models.features import Normalization
+from solver_in_the_loop_tpu.models.networks import build_model
+from solver_in_the_loop_tpu.physics.burgers import BurgersFlow, burgers_domain
+from solver_in_the_loop_tpu.train import checkpoint as ckpt
+from solver_in_the_loop_tpu.train.rollout import burgers_rollout
+
+log = logging.getLogger(__name__)
+
+
+def build_parser(parser=None) -> argparse.ArgumentParser:
+    p = parser or argparse.ArgumentParser("burgers-pre-apply")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--model", required=True)
+    p.add_argument("--stats", required=True, help="stats.json from PRE training")
+    p.add_argument("--arch", default="mars_moon")
+    p.add_argument("-t", "--simsteps", type=int, default=200)
+    p.add_argument("-r", "--res", type=int, default=32)
+    p.add_argument("-l", "--len", type=float, default=32.0)
+    p.add_argument("--dt", type=float, default=0.1)
+    p.add_argument("--initvH", required=True)
+    p.add_argument("--loadfH", required=True)
+    p.add_argument("-d", "--scale", type=int, default=4)
+    p.add_argument("--advect", choices=["gather", "shift"], default="shift")
+    p.add_argument("--max-shift", type=int, default=2)
+    return p
+
+
+def run(args):
+    dom = burgers_domain(args.res, args.len)
+    flow = BurgersFlow(dom, advection=args.advect, max_shift=args.max_shift)
+
+    u_hi, v_hi = scene_io.legacy_to_staggered(scene_io.read_array(args.initvH))
+    u0, v0arr = downsample_staggered(jnp.asarray(u_hi), jnp.asarray(v_hi), args.scale)
+    v0 = StaggeredGrid(u0, v0arr, dom)
+
+    steps = args.simsteps - 1
+    fc_files = sorted(_glob.glob(args.loadfH))
+    assert len(fc_files) >= steps
+    fus, fvs = [], []
+    for fp in fc_files[:steps]:
+        fu_hi, fv_hi = scene_io.legacy_to_staggered(scene_io.read_array(fp))
+        fu_lo, fv_lo = downsample_staggered(jnp.asarray(fu_hi), jnp.asarray(fv_hi), args.scale)
+        fus.append(fu_lo)
+        fvs.append(fv_lo)
+    fu, fv = jnp.stack(fus), jnp.stack(fvs)
+
+    with open(args.stats) as f:
+        stats = json.load(f)
+    norm = Normalization(
+        jnp.asarray(stats["in.std"], jnp.float32),
+        jnp.asarray(stats["out.std"][:2], jnp.float32),
+    )
+
+    model = build_model(args.arch)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, dom.ny, dom.nx, 4)))
+    params, _ = ckpt.load_checkpoint(args.model, params)
+
+    _, rollout_replay = burgers_rollout(
+        flow, steps=steps, model_apply=model.apply, norm=norm, dt=args.dt,
+    )
+    frames = rollout_replay(params, v0, fu, fv)
+    uu, vv = np.asarray(frames["u"]), np.asarray(frames["v"])
+
+    sc = Scene.create(args.output)
+    sc.write_params(vars(args).copy())
+    log.info("writing %s", sc.path)
+    sc.write_staggered("velTf", 0, np.asarray(v0.u), np.asarray(v0.v))
+    for t in range(uu.shape[0]):
+        sc.write_staggered("velTf", t + 1, uu[t], vv[t])
+    return frames
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    return run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

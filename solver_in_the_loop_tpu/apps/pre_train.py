@@ -1,0 +1,208 @@
+"""PRE supervised training CLI (karman + burgers).
+
+Replicates `python karman_train_pre.py -o <dir>/tf --val 0.05 --epochs 400
+--augment <pre-set>/sim_0*/` (/root/reference/karman-2d/karman_train_pre.py)
+and the burgers variant (/root/reference/burgers/burgers_train_pre.py):
+
+* features: [v, u, Re] (karman, karman_train_pre.py:162-181) or
+  [v, u, fv, fu] (burgers, burgers_train_pre.py:161-181) from the stored
+  pre-correction state; labels [corr_v, corr_u]
+* nonzero-masked per-channel std, zero-centered standardization
+  (tf_data.py:16-32)
+* shuffled val split; random flip-x augmentation with per-channel sign flips
+  ([1,-1,1,1,-1] karman :164 — u and corr_u negate; all +1 burgers :163)
+* MSE, Adam, batch 32, lr x0.1 at epochs 81/121/161 and x0.5 at 181 (:127-144)
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as _glob
+import json
+import logging
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from solver_in_the_loop_tpu.models.networks import build_model
+from solver_in_the_loop_tpu.train import checkpoint as ckpt
+from solver_in_the_loop_tpu.utils.metrics import MetricsWriter
+
+log = logging.getLogger(__name__)
+
+
+def build_parser(parser=None) -> argparse.ArgumentParser:
+    p = parser or argparse.ArgumentParser("pre-train")
+    p.add_argument("-o", "--opath", required=True, help="output dir (model, stats)")
+    p.add_argument("--val", type=float, default=0.2)
+    p.add_argument("--bsize", dest="batch_size", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--steps", dest="steps_per_epoch", type=int, default=None)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--model", default="mars_moon")
+    p.add_argument("--augment", action="store_true")
+    p.add_argument("--nsigma", type=float, default=1.0)
+    p.add_argument("tdata", nargs="+", help="PRE scene dirs (sim_*)")
+    return p
+
+
+def pre_lr_schedule(epoch: int, current_lr: float) -> float:
+    if epoch == 181:
+        return current_lr * 0.5
+    if epoch in (81, 121, 161):
+        return current_lr * 0.1
+    return current_lr
+
+
+def _read_collocated(path: str) -> np.ndarray:
+    """npz staggered frame -> (1, Y, X, 2) collocated [v, u] (the reference's
+    read_grid + channel reversal, karman_train_pre.py:85-108, 170)."""
+    from solver_in_the_loop_tpu.io import scene as scene_io
+
+    u, v = scene_io.legacy_to_staggered(scene_io.read_array(path))
+    return np.stack([v[:, :-1, :], u[:, :, :-1]], axis=-1)
+
+
+def load_pre_data(tdata, scenario: str):
+    dirs = sorted(d for pat in tdata for d in _glob.glob(pat))
+    vel_files, corr_files, frc_files, re_vals = [], [], [], []
+    for d in dirs:
+        vels = sorted(_glob.glob(os.path.join(d, "velo_0*.npz")))
+        corrs = sorted(_glob.glob(os.path.join(d, "corr_0*.npz")))
+        assert len(vels) == len(corrs), d
+        vel_files += vels
+        corr_files += corrs
+        if scenario == "karman":
+            with open(os.path.join(d, "params.pickle"), "rb") as f:
+                re = float(pickle.load(f)["re"])
+            re_vals += [re] * len(vels)
+        else:
+            frcs = sorted(_glob.glob(os.path.join(d, "forc_0*.npz")))
+            assert len(frcs) == len(vels), d
+            frc_files += frcs
+
+    inputs, labels = [], []
+    for i, (vf, cf) in enumerate(zip(vel_files, corr_files)):
+        vu = _read_collocated(vf)
+        if scenario == "karman":
+            re_chan = np.full(vu.shape[:-1] + (1,), re_vals[i], np.float32)
+            feat = np.concatenate([vu, re_chan], axis=-1)
+        else:
+            feat = np.concatenate([vu, _read_collocated(frc_files[i])], axis=-1)
+        inputs.append(feat)
+        labels.append(_read_collocated(cf))
+    return np.concatenate(inputs, 0), np.concatenate(labels, 0)
+
+
+def nonzero_channel_std(data: np.ndarray) -> np.ndarray:
+    """tf_data.dataStats: std over nonzero entries per channel."""
+    out = []
+    for i in range(data.shape[-1]):
+        col = data[..., i][data[..., i] != 0]
+        out.append(col.std() if col.size else 1.0)
+    return np.asarray(out, np.float32)
+
+
+def run(args, scenario: str = "karman"):
+    np.random.seed(args.seed)
+    inputs, labels = load_pre_data(args.tdata, scenario)
+    log.info("%s PRE data: %s -> %s", scenario, inputs.shape, labels.shape)
+
+    perm = np.random.permutation(inputs.shape[0])
+    val_size = max(1, int(args.val * inputs.shape[0]))
+    tr_in, tr_lb = inputs[perm][:-val_size], labels[perm][:-val_size]
+    va_in, va_lb = inputs[perm][-val_size:], labels[perm][-val_size:]
+
+    in_std = nonzero_channel_std(tr_in) * args.nsigma
+    out_std = nonzero_channel_std(tr_lb) * args.nsigma
+    stats = {
+        "in.std": in_std.tolist(),
+        "out.std": out_std.tolist(),
+        "ext.std": float(in_std[2]) if scenario == "karman" else 0.0,
+        "scenario": scenario,
+        "nsigma": args.nsigma,
+    }
+    os.makedirs(args.opath, exist_ok=True)
+    with open(os.path.join(args.opath, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+
+    tr_in = tr_in / in_std
+    tr_lb = tr_lb / out_std
+    va_in = jnp.asarray(va_in / in_std)
+    va_lb = jnp.asarray(va_lb / out_std)
+
+    if scenario == "karman":
+        flip_signs = np.asarray([1.0, -1.0, 1.0, 1.0, -1.0], np.float32)
+    else:
+        flip_signs = np.ones(tr_in.shape[-1] + 2, np.float32)
+
+    model = build_model(args.model)
+    params = model.init(jax.random.PRNGKey(args.seed), jnp.zeros((1,) + tr_in.shape[1:]))
+    log.info("model %s: %d params", args.model, ckpt.param_count(params))
+
+    opt = optax.inject_hyperparams(optax.adam)(learning_rate=args.lr)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, x, y):
+        def loss_fn(p):
+            pred = model.apply(p, x)
+            return jnp.mean((pred - y) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def eval_mse(params, x, y):
+        return jnp.mean((model.apply(params, x) - y) ** 2)
+
+    writer = MetricsWriter(args.opath)
+    n = tr_in.shape[0]
+    steps = args.steps_per_epoch or max(1, round(n / args.batch_size))
+    current_lr = args.lr
+    rng = np.random.RandomState(args.seed)
+    gstep = 0
+    for epoch in range(args.epochs):
+        current_lr = pre_lr_schedule(epoch, current_lr)
+        from solver_in_the_loop_tpu.train.trainer import set_learning_rate
+
+        opt_state = set_learning_rate(opt_state, current_lr)
+        epoch_perm = rng.permutation(n)
+        ep_loss = 0.0
+        for s in range(steps):
+            sel = epoch_perm[(s * args.batch_size) % n : (s * args.batch_size) % n + args.batch_size]
+            x = tr_in[sel]
+            y = tr_lb[sel]
+            if args.augment:
+                flip = rng.rand(len(sel)) > 0.5
+                both = np.concatenate([x, y], axis=-1)
+                both[flip] = both[flip][:, :, ::-1, :] * flip_signs
+                x, y = both[..., :-2], both[..., -2:]
+            params, opt_state, loss = train_step(params, opt_state, jnp.asarray(x), jnp.asarray(y))
+            ep_loss += float(loss)
+            gstep += 1
+        val = float(eval_mse(params, va_in, va_lb))
+        writer.scalar("loss", ep_loss / steps, gstep)
+        writer.scalar("val_loss", val, gstep)
+        writer.scalar("lr", current_lr, gstep)
+        if epoch % 10 == 0 or epoch == args.epochs - 1:
+            log.info("epoch %03d loss=%.6f val=%.6f lr=%.1e", epoch + 1, ep_loss / steps, val, current_lr)
+        ckpt.save_checkpoint(args.opath, params, opt_state, epoch=epoch + 1) if epoch % 50 == 49 else None
+    ckpt.save_checkpoint(args.opath, params)
+    writer.close()
+    return params, stats
+
+
+def main(argv=None, scenario: str = "karman"):
+    logging.basicConfig(level=logging.INFO)
+    return run(build_parser().parse_args(argv), scenario)
+
+
+if __name__ == "__main__":
+    main()

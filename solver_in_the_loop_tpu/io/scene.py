@@ -51,9 +51,16 @@ def legacy_to_centered(arr: np.ndarray) -> np.ndarray:
 
 
 def read_array(path: str) -> np.ndarray:
-    """Load an npz frame in the legacy layout (batch dim guaranteed)."""
-    with np.load(path) as f:
-        arr = f[f.files[-1]]
+    """Load an npz frame in the legacy layout (batch dim guaranteed).
+
+    Uses the native multithreaded reader (native/sceneio.cpp) when built,
+    falling back to numpy."""
+    from solver_in_the_loop_tpu.io import native_npz
+
+    arr = native_npz.read_npz(path)
+    if arr is None:
+        with np.load(path) as f:
+            arr = f[f.files[-1]]
     if arr.ndim < 4:
         arr = arr[None]
     return arr
