@@ -25,6 +25,7 @@ COMMANDS = {
     "burgers-pre-gen": ("solver_in_the_loop_tpu.apps.burgers_pre_gen", "burgers PRE data generation"),
     "burgers-pre-train": ("solver_in_the_loop_tpu.apps.pre_train", "burgers PRE supervised training"),
     "burgers-pre-apply": ("solver_in_the_loop_tpu.apps.burgers_pre_apply", "burgers PRE rollout"),
+    "evaluate": ("solver_in_the_loop_tpu.apps.evaluate", "rollout MAE vs reference trajectory"),
 }
 
 

@@ -1,0 +1,71 @@
+"""Rollout accuracy evaluation: velocity MAE of a run_test scene vs the
+downsampled hi-res reference trajectory.
+
+The north-star accuracy metric (BASELINE.md): 100-step (and 500-step) rollout
+velocity MAE across unseen Reynolds numbers. The reference repo has no
+equivalent tool — errors were judged from the paper's plots; this makes the
+check reproducible.
+
+    python -m solver_in_the_loop_tpu evaluate \
+        --run karman-fdt-sol32/run_test/sim_000000 \
+        --ref karman-fdt-hires-testset/sim_000000 --ref-offset 1000 --scale 4 \
+        --steps 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from solver_in_the_loop_tpu.core.resample import downsample_staggered
+from solver_in_the_loop_tpu.io.scene import Scene
+
+log = logging.getLogger(__name__)
+
+
+def build_parser(parser=None) -> argparse.ArgumentParser:
+    p = parser or argparse.ArgumentParser("evaluate")
+    p.add_argument("--run", required=True, help="rollout scene dir (velTf frames)")
+    p.add_argument("--ref", required=True, help="hi-res reference scene dir (velo frames)")
+    p.add_argument("--ref-offset", type=int, default=0,
+                   help="reference frame number matching rollout frame 0")
+    p.add_argument("--scale", type=int, default=4, help="reference downsampling factor")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--field", default="velTf")
+    return p
+
+
+def run(args):
+    run_sc = Scene(args.run)
+    ref_sc = Scene(args.ref)
+    maes = []
+    for t in range(1, args.steps + 1):
+        u_r, v_r = run_sc.read_staggered(args.field, t)
+        u_h, v_h = ref_sc.read_staggered("velo", args.ref_offset + t)
+        u_g, v_g = downsample_staggered(jnp.asarray(u_h), jnp.asarray(v_h), args.scale)
+        mae = 0.5 * (
+            float(jnp.mean(jnp.abs(jnp.asarray(u_r) - u_g)))
+            + float(jnp.mean(jnp.abs(jnp.asarray(v_r) - v_g)))
+        )
+        maes.append(mae)
+    out = {
+        "steps": args.steps,
+        "mae_mean": float(np.mean(maes)),
+        "mae_final": maes[-1],
+        "mae_per_step_head": maes[:10],
+    }
+    print(json.dumps(out))
+    return out
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    return run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()
