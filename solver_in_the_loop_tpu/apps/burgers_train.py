@@ -59,11 +59,15 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     p.add_argument("--max-shift", type=int, default=2)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--dp", action="store_true")
+    p.add_argument("--profile", default=None, help="dump a jax profiler trace to this dir")
+    p.add_argument("--debug-nans", action="store_true")
     return p
 
 
 def run(args):
     setup_logging(args.log, args.resume)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     if args.nsims % args.sbatch != 0:
         args.nsims = (args.nsims // args.sbatch) * args.sbatch
         log.info("nsims adjusted to %d", args.nsims)
@@ -142,6 +146,16 @@ def run(args):
         if epoch == 0 or epoch % 10 == 9:
             # burgers also snapshots epoch 1 (burgers_train.py:497)
             ckpt.save_checkpoint(args.tf, params_, opt_state_, epoch=epoch + 1)
+
+    if args.profile:
+        from solver_in_the_loop_tpu.utils.profiling import trace
+
+        idx0 = jnp.zeros((cfg.batch_size, 2), jnp.int32)
+        with trace(args.profile):
+            out = train_step(params, opt_state, data, norm, idx0)
+            jax.block_until_ready(out[2])
+        params, opt_state = out[0], out[1]
+        log.info("profiler trace written to %s", args.profile)
 
     result = run_training(
         train_step, params, opt_state, data, norm, schedule, cfg,

@@ -42,16 +42,19 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
 def run(args):
     run_sc = Scene(args.run)
     ref_sc = Scene(args.ref)
-    maes = []
+    # batch all frames, downsample once on device (per-frame roundtrips are slow)
+    ur, vr, uh, vh = [], [], [], []
     for t in range(1, args.steps + 1):
         u_r, v_r = run_sc.read_staggered(args.field, t)
         u_h, v_h = ref_sc.read_staggered("velo", args.ref_offset + t)
-        u_g, v_g = downsample_staggered(jnp.asarray(u_h), jnp.asarray(v_h), args.scale)
-        mae = 0.5 * (
-            float(jnp.mean(jnp.abs(jnp.asarray(u_r) - u_g)))
-            + float(jnp.mean(jnp.abs(jnp.asarray(v_r) - v_g)))
-        )
-        maes.append(mae)
+        ur.append(u_r[0])
+        vr.append(v_r[0])
+        uh.append(u_h[0])
+        vh.append(v_h[0])
+    u_g, v_g = downsample_staggered(jnp.asarray(np.stack(uh)), jnp.asarray(np.stack(vh)), args.scale)
+    du = jnp.mean(jnp.abs(jnp.asarray(np.stack(ur)) - u_g), axis=(1, 2))
+    dv = jnp.mean(jnp.abs(jnp.asarray(np.stack(vr)) - v_g), axis=(1, 2))
+    maes = [float(x) for x in np.asarray(0.5 * (du + dv))]
     out = {
         "steps": args.steps,
         "mae_mean": float(np.mean(maes)),

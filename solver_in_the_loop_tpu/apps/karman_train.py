@@ -59,11 +59,17 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     p.add_argument("--max-shift", type=int, default=2)
     p.add_argument("--bf16", action="store_true", help="bfloat16 network compute")
     p.add_argument("--dp", action="store_true", help="shard the batch over all devices")
+    p.add_argument("--ptol", type=float, default=1e-5, help="pressure CG tolerance")
+    p.add_argument("--pmaxiter", type=int, default=1000, help="pressure CG max iterations")
+    p.add_argument("--profile", default=None, help="dump a jax profiler trace to this dir")
+    p.add_argument("--debug-nans", action="store_true", help="enable jax_debug_nans")
     return p
 
 
 def run(args):
     setup_logging(args.log, args.resume)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     if args.nsims % args.sbatch != 0:
         args.nsims = (args.nsims // args.sbatch) * args.sbatch
         log.info("nsims adjusted to %d (batch size divisibility)", args.nsims)
@@ -98,7 +104,8 @@ def run(args):
     res_y, res_x = data_np.resolution
     dom = karman_domain(res_x, args.len)
     assert dom.resolution == (res_y, res_x), (dom.resolution, data_np.resolution)
-    flow = KarmanFlow(dom, advection=args.advect, max_shift=args.max_shift)
+    flow = KarmanFlow(dom, advection=args.advect, max_shift=args.max_shift,
+                      pressure_tol=args.ptol, pressure_max_iter=args.pmaxiter)
 
     cfg = SolTrainConfig(
         msteps=args.msteps, lr=args.lr, epochs=args.epochs, batch_size=args.sbatch,
@@ -147,6 +154,17 @@ def run(args):
     def on_epoch_end(epoch, params_, opt_state_):
         if epoch % 10 == 9:
             ckpt.save_checkpoint(args.tf, params_, opt_state_, epoch=epoch + 1)
+
+    if args.profile:
+        # phi2-equivalent first-step trace (karman-2d-phi2/karman_train.py:548-554)
+        from solver_in_the_loop_tpu.utils.profiling import trace
+
+        idx0 = jnp.zeros((cfg.batch_size, 2), jnp.int32)  # doesn't consume the schedule RNG
+        with trace(args.profile):
+            out = train_step(params, opt_state, data, norm, idx0)
+            jax.block_until_ready(out[2])
+        params, opt_state = out[0], out[1]
+        log.info("profiler trace written to %s", args.profile)
 
     result = run_training(
         train_step, params, opt_state, data, norm, schedule, cfg,

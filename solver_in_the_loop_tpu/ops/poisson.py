@@ -24,6 +24,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.ad_checkpoint import checkpoint_name
 
 from solver_in_the_loop_tpu.core.grids import Domain, StaggeredGrid
 from solver_in_the_loop_tpu.ops.stencils import divergence, masked_laplacian, pressure_gradient
@@ -154,7 +155,10 @@ def solve_pressure(
         def solve_fn(mv, b):
             return cg_solve(mv, b, tol=tol, max_iter=max_iter)
 
-    return lax.custom_linear_solve(matvec, rhs, solve_fn, symmetric=True)
+    p = lax.custom_linear_solve(matvec, rhs, solve_fn, symmetric=True)
+    # tag for remat policies: saving 'pressure' lets jax.checkpoint rematerialize
+    # the cheap stencil work while never re-running the CG solve in backward
+    return checkpoint_name(p, "pressure")
 
 
 def make_incompressible(

@@ -92,6 +92,14 @@ class SolTrainConfig:
     log_every: int = 50
 
 
+def _remat(fn):
+    """Per-unrolled-step rematerialization that never re-runs the pressure CG:
+    the 'pressure' output of solve_pressure is saved, everything else (cheap
+    stencils + convs) is recomputed in backward."""
+    policy = jax.checkpoint_policies.save_only_these_names("pressure")
+    return jax.checkpoint(fn, policy=policy)
+
+
 def make_optimizer(cfg: SolTrainConfig) -> optax.GradientTransformation:
     chain = []
     if cfg.clip_grad:
@@ -132,7 +140,7 @@ def make_karman_train_step(
         return dens, vel
 
     if cfg.remat:
-        step_with_correction = jax.checkpoint(step_with_correction, static_argnums=())
+        step_with_correction = _remat(step_with_correction)
 
     def loss_fn(params, data, norm: Normalization, idx):
         sim_idx = idx[:, 0]
@@ -196,7 +204,7 @@ def make_burgers_train_step(
         return vel + corr
 
     if cfg.remat:
-        step_with_correction = jax.checkpoint(step_with_correction)
+        step_with_correction = _remat(step_with_correction)
 
     def loss_fn(params, data, norm: Normalization, idx):
         sim_idx = idx[:, 0]
