@@ -92,6 +92,17 @@ def run(args):
         if i % 25 == 0 or i == 1:
             log.info("step %06d |corr|max=%.4f", i, float(jnp.max(jnp.abs(corr_u))))
         if args.skipsteps < i:
+            if args.thumb:
+                import os
+
+                from solver_in_the_loop_tpu.io.thumbs import save_thumb, thumb_dir_for
+
+                td = thumb_dir_for(sc.path)
+                save_thumb(np.asarray(d_hi.values[0]), 10000.0, os.path.join(td, f"densH_{i:06d}.png"))
+                save_thumb(np.asarray(v_co.u[0]), 10000.0, os.path.join(td, f"velUC_{i:06d}.png"))
+                save_thumb(np.asarray(v_co.v[0]), 10000.0, os.path.join(td, f"velVC_{i:06d}.png"))
+                save_thumb(np.asarray(corr_u[0]), 10000.0, os.path.join(td, f"corUC_{i:06d}.png"))
+                save_thumb(np.asarray(corr_v[0]), 10000.0, os.path.join(td, f"corVC_{i:06d}.png"))
             sc.write_centered("densH", i, np.asarray(d_hi.values))
             sc.write_staggered("veloH", i, np.asarray(v_hi.u), np.asarray(v_hi.v))
             sc.write_centered("densC", i, np.asarray(d_co.values))

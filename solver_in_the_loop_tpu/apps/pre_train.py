@@ -47,8 +47,32 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     p.add_argument("--model", default="mars_moon")
     p.add_argument("--augment", action="store_true")
     p.add_argument("--nsigma", type=float, default=1.0)
+    p.add_argument("--nostats", action="store_true", help="skip histogram PDF plots")
     p.add_argument("tdata", nargs="+", help="PRE scene dirs (sim_*)")
     return p
+
+
+def write_histogram_stats(opath: str, named_arrays) -> None:
+    """Per-channel histogram pages -> stats.pdf + stats-png/ (parity with
+    karman_train_pre.py:229-275)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.backends.backend_pdf import PdfPages
+
+    png_dir = os.path.join(opath, "stats-png")
+    os.makedirs(png_dir, exist_ok=True)
+    with PdfPages(os.path.join(opath, "stats.pdf")) as pdf:
+        for name, arr in named_arrays:
+            for c in range(arr.shape[-1]):
+                dd = np.asarray(arr[..., c]).reshape(-1)
+                plt.figure()
+                plt.hist(dd, bins=100, log=True)
+                plt.title(f"Histogram of {name}[{c}]  mean={dd.mean():.4g} std={dd.std():.4g}")
+                plt.savefig(pdf, format="pdf")
+                plt.savefig(os.path.join(png_dir, f"{name}_{c}.png"))
+                plt.close("all")
 
 
 def pre_lr_schedule(epoch: int, current_lr: float) -> float:
@@ -135,6 +159,13 @@ def run(args, scenario: str = "karman"):
     tr_lb = tr_lb / out_std
     va_in = jnp.asarray(va_in / in_std)
     va_lb = jnp.asarray(va_lb / out_std)
+
+    if not args.nostats:
+        write_histogram_stats(
+            args.opath,
+            [("inputs", inputs), ("labels", labels),
+             ("input_train_norm", tr_in), ("label_train_norm", tr_lb)],
+        )
 
     if scenario == "karman":
         flip_signs = np.asarray([1.0, -1.0, 1.0, 1.0, -1.0], np.float32)

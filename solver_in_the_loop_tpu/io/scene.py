@@ -20,7 +20,7 @@ import json
 import os
 import pickle
 import re as _re
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

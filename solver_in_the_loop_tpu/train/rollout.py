@@ -10,7 +10,6 @@ are stacked on device and fetched once.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

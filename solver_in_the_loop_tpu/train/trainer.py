@@ -25,7 +25,7 @@ import dataclasses
 import logging
 import time
 from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +41,7 @@ from solver_in_the_loop_tpu.models.features import (
 )
 from solver_in_the_loop_tpu.physics.burgers import BurgersFlow
 from solver_in_the_loop_tpu.physics.karman import KarmanFlow
-from solver_in_the_loop_tpu.train.dataset import BurgersDataset, EpochSchedule, KarmanDataset
+from solver_in_the_loop_tpu.train.dataset import EpochSchedule
 
 log = logging.getLogger(__name__)
 
