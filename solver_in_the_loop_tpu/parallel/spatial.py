@@ -1,0 +1,57 @@
+"""Spatial domain decomposition (halo-exchange parallelism) over a device mesh.
+
+The reference has no multi-device execution at all (SURVEY.md §2.4); spatial
+decomposition is the natural context-parallel analog for grids larger than
+one chip. TPU-native design: we do NOT hand-write halo exchanges — fields are
+sharded along the y (streamwise) axis with `jax.sharding.NamedSharding`, and
+XLA's SPMD partitioner inserts the halo collectives for every stencil,
+advection gather, and CG iteration automatically. The masked-Poisson CG's
+inner products become `psum`s over the mesh; correctness is bit-comparable to
+the unsharded program (verified in tests/test_spatial.py on the 8-device fake
+mesh).
+
+Usage:
+    mesh = spatial_mesh()                       # ('y',) over all devices
+    u, v, dens = shard_fields_y(mesh, u, v, dens)
+    # ... run the usual jitted physics; outputs stay y-sharded
+
+The Pallas fused-CG kernel is single-device; spatially sharded runs use the
+XLA CG path (ops.poisson backend='xla' is selected automatically when inputs
+are sharded across devices — pass backend='xla' explicitly for clarity).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Y_AXIS = "y"
+
+
+def spatial_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (Y_AXIS,))
+
+
+def y_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, Y, X) arrays sharded along Y."""
+    return NamedSharding(mesh, P(None, Y_AXIS, None))
+
+
+def shard_fields_y(mesh: Mesh, *arrays):
+    """Shard each (B, Y, X)-like array along its second axis when divisible by
+    the mesh (staggered +1 axes are replicated and re-sharded by XLA)."""
+    out = []
+    sh = y_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    for a in arrays:
+        if a.shape[1] % mesh.size == 0:
+            out.append(jax.device_put(a, sh))
+        else:
+            out.append(jax.device_put(a, rep))
+    return out if len(out) > 1 else out[0]
