@@ -48,6 +48,10 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     p.add_argument("-l", "--len", type=float, default=100.0)
     p.add_argument("--model", default="mars_moon")
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--reg-loss", action="store_true",
+                   help="accepted for reference CLI parity; the reference sums "
+                        "keras model.losses which is empty for these models "
+                        "(karman_train.py:441-443), so this is a no-op")
     p.add_argument("--adplr", action="store_true")
     p.add_argument("--clip-grad", action="store_true")
     p.add_argument("--resume", type=int, default=-1)

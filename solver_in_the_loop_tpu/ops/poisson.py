@@ -75,6 +75,13 @@ def open_domain_masks(domain: Domain, fluid: Optional[jnp.ndarray] = None) -> Pr
     return masks_from_fluid_cells(fluid, domain)
 
 
+def _mg_applicable(shape) -> bool:
+    """MG pays off once the grid is big enough to need O(100+) CG iterations
+    and can coarsen at least twice."""
+    _, ny, nx = shape
+    return min(ny, nx) >= 64 and ny % 4 == 0 and nx % 4 == 0
+
+
 def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Per-batch inner product over spatial axes: (B, Y, X) x 2 -> (B, 1, 1)."""
     return jnp.sum(a * b, axis=(1, 2), keepdims=True)
@@ -139,18 +146,33 @@ def solve_pressure(
     rhs = jnp.where(fluid > 0, -div, 0.0)
 
     use_pallas = False
+    use_mg = backend == "mg"
     if backend == "pallas":
         use_pallas = True
     elif backend == "auto":
         from solver_in_the_loop_tpu.ops.pallas.cg import pallas_cg_available
 
         use_pallas = pallas_cg_available(rhs.shape, periodic)
+        # large open-boundary grids: multigrid-preconditioned CG (near
+        # resolution-independent iteration counts; see ops/multigrid.py)
+        if not use_pallas and not periodic and _mg_applicable(rhs.shape):
+            use_mg = True
 
     if use_pallas:
         from solver_in_the_loop_tpu.ops.pallas.cg import pallas_cg_solve
 
         def solve_fn(_mv, b):
             return pallas_cg_solve(b, masks, tol=tol, max_iter=max_iter)
+    elif use_mg:
+        from solver_in_the_loop_tpu.core.grids import Boundary, Domain
+        from solver_in_the_loop_tpu.ops.multigrid import build_mg_hierarchy, mg_pcg_solve
+
+        _, ny, nx = rhs.shape
+        dom = Domain((ny, nx), (float(ny), float(nx)), Boundary.OPEN)
+        hierarchy = build_mg_hierarchy(masks, dom)
+
+        def solve_fn(_mv, b):
+            return mg_pcg_solve(hierarchy, b, tol=tol, max_iter=max_iter)
     else:
         def solve_fn(mv, b):
             return cg_solve(mv, b, tol=tol, max_iter=max_iter)
