@@ -226,3 +226,130 @@ long silt_npz_read_batch(const char** paths, long n, float* out,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// npz writer: np.load-compatible zip(deflate)+npy, with a controllable
+// compression level (np.savez_compressed pins zlib level 6; level 1 is
+// ~5x faster deflate for ~10% larger files — the data-generation pipelines
+// are host-compression-bound, BENCH.md).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+void put16(std::vector<unsigned char>& b, uint16_t v) {
+  b.push_back(v & 0xff); b.push_back((v >> 8) & 0xff);
+}
+void put32(std::vector<unsigned char>& b, uint32_t v) {
+  for (int i = 0; i < 4; ++i) b.push_back((v >> (8 * i)) & 0xff);
+}
+
+std::vector<unsigned char> make_npy(const float* data, const long* shape, int ndim) {
+  std::string dict = "{'descr': '<f4', 'fortran_order': False, 'shape': (";
+  size_t count = 1;
+  for (int i = 0; i < ndim; ++i) {
+    dict += std::to_string(shape[i]);
+    if (ndim == 1 || i + 1 < ndim) dict += ",";
+    if (i + 1 < ndim) dict += " ";
+    count *= static_cast<size_t>(shape[i]);
+  }
+  dict += "), }";
+  size_t hlen = 10 + dict.size() + 1;          // magic+ver+len + dict + \n
+  size_t pad = (64 - (hlen % 64)) % 64;        // align to 64
+  dict += std::string(pad, ' ');
+  dict += "\n";
+  std::vector<unsigned char> out;
+  const unsigned char magic[8] = {0x93, 'N', 'U', 'M', 'P', 'Y', 1, 0};
+  out.insert(out.end(), magic, magic + 8);
+  put16(out, static_cast<uint16_t>(dict.size()));
+  out.insert(out.end(), dict.begin(), dict.end());
+  const unsigned char* raw = reinterpret_cast<const unsigned char*>(data);
+  out.insert(out.end(), raw, raw + count * 4);
+  return out;
+}
+
+bool deflate_raw(const std::vector<unsigned char>& in, std::vector<unsigned char>& out,
+                 int level) {
+  uLong bound = compressBound(in.size());
+  out.resize(bound);
+  z_stream zs{};
+  if (deflateInit2(&zs, level, Z_DEFLATED, -MAX_WBITS, 8, Z_DEFAULT_STRATEGY) != Z_OK)
+    return false;
+  zs.next_in = const_cast<unsigned char*>(in.data());
+  zs.avail_in = in.size();
+  zs.next_out = out.data();
+  zs.avail_out = bound;
+  int rc = deflate(&zs, Z_FINISH);
+  out.resize(zs.total_out);
+  deflateEnd(&zs);
+  return rc == Z_STREAM_END;
+}
+
+bool write_npz_one(const char* path, const float* data, const long* shape,
+                   int ndim, int level) {
+  std::vector<unsigned char> npy = make_npy(data, shape, ndim);
+  std::vector<unsigned char> comp;
+  if (!deflate_raw(npy, comp, level)) return false;
+  uint32_t crc = crc32(0L, npy.data(), npy.size());
+  const std::string name = "arr_0.npy";
+
+  std::vector<unsigned char> file;
+  size_t local_off = 0;
+  // local file header
+  put32(file, 0x04034b50); put16(file, 20); put16(file, 0); put16(file, 8);
+  put16(file, 0); put16(file, 0);
+  put32(file, crc); put32(file, comp.size()); put32(file, npy.size());
+  put16(file, name.size()); put16(file, 0);
+  file.insert(file.end(), name.begin(), name.end());
+  file.insert(file.end(), comp.begin(), comp.end());
+  // central directory
+  size_t cd_off = file.size();
+  put32(file, 0x02014b50); put16(file, 20); put16(file, 20); put16(file, 0);
+  put16(file, 8); put16(file, 0); put16(file, 0);
+  put32(file, crc); put32(file, comp.size()); put32(file, npy.size());
+  put16(file, name.size()); put16(file, 0); put16(file, 0);
+  put16(file, 0); put16(file, 0); put32(file, 0); put32(file, local_off);
+  file.insert(file.end(), name.begin(), name.end());
+  size_t cd_size = file.size() - cd_off;
+  // end of central directory
+  put32(file, 0x06054b50); put16(file, 0); put16(file, 0); put16(file, 1);
+  put16(file, 1); put32(file, cd_size); put32(file, cd_off); put16(file, 0);
+
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return false;
+  size_t wrote = std::fwrite(file.data(), 1, file.size(), f);
+  std::fclose(f);
+  return wrote == file.size();
+}
+
+}  // namespace
+
+extern "C" {
+
+long silt_npz_write(const char* path, const float* data, const long* shape,
+                    int ndim, int level) {
+  return write_npz_one(path, data, shape, ndim, level) ? 0 : -1;
+}
+
+long silt_npz_write_batch(const char** paths, long n, const float* data,
+                          long stride, const long* shape, int ndim,
+                          int level, int nthreads) {
+  if (nthreads < 1) nthreads = 1;
+  std::atomic<long> next(0);
+  std::atomic<long> failed(0);
+  auto worker = [&]() {
+    long i;
+    while ((i = next.fetch_add(1)) < n) {
+      if (!write_npz_one(paths[i], data + i * stride, shape, ndim, level)) {
+        long expect = 0;
+        failed.compare_exchange_strong(expect, i + 1);
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < nthreads - 1; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  return -failed.load();
+}
+
+}  // extern "C"

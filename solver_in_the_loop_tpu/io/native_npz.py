@@ -48,6 +48,25 @@ def _lib() -> Optional[ctypes.CDLL]:
             ctypes.c_long,
             ctypes.c_int,
         ]
+        lib.silt_npz_write.restype = ctypes.c_long
+        lib.silt_npz_write.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.silt_npz_write_batch.restype = ctypes.c_long
+        lib.silt_npz_write_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_long),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -79,6 +98,48 @@ def read_npz(path: str) -> Optional[np.ndarray]:
         return None
     dims = tuple(shape[i] for i in range(ndim.value))
     return out[:got].reshape(dims).copy()
+
+
+def write_npz(path: str, arr: np.ndarray, level: int = 1) -> bool:
+    """Write one npz frame natively (deflate level 1 by default — the
+    data-generation pipelines are host-compression-bound)."""
+    lib = _lib()
+    if lib is None:
+        return False
+    arr = np.ascontiguousarray(arr, np.float32)
+    shape = (ctypes.c_long * 8)(*arr.shape)
+    rc = lib.silt_npz_write(
+        path.encode(),
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        shape,
+        arr.ndim,
+        level,
+    )
+    return rc == 0
+
+
+def write_npz_batch(paths: List[str], arr: np.ndarray, level: int = 1) -> bool:
+    """Write (N, *frame_shape) frames to N files with the native thread pool."""
+    lib = _lib()
+    if lib is None or not paths:
+        return False
+    arr = np.ascontiguousarray(arr, np.float32)
+    assert arr.shape[0] == len(paths)
+    stride = int(np.prod(arr.shape[1:]))
+    shape = (ctypes.c_long * 8)(*arr.shape[1:])
+    c_paths = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    nthreads = min(16, os.cpu_count() or 1)
+    rc = lib.silt_npz_write_batch(
+        c_paths,
+        len(paths),
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        stride,
+        shape,
+        arr.ndim - 1,
+        level,
+        nthreads,
+    )
+    return rc == 0
 
 
 def read_npz_batch(paths: List[str], frame_shape) -> Optional[np.ndarray]:

@@ -67,7 +67,11 @@ def read_array(path: str) -> np.ndarray:
 
 
 def write_array(path: str, arr: np.ndarray) -> None:
-    np.savez_compressed(path, arr.astype(np.float32))
+    from solver_in_the_loop_tpu.io import native_npz
+
+    arr = np.asarray(arr, np.float32)
+    if not native_npz.write_npz(path, arr):
+        np.savez_compressed(path, arr)
 
 
 class Scene:
