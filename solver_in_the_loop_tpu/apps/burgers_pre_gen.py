@@ -81,17 +81,26 @@ def run(args):
     corr_v = jnp.zeros(dom_lo.v_shape(1))
     f_hi, f_co = load_force(0)
 
-    for i in range(1, args.simsteps):
+    import jax
+
+    @jax.jit
+    def pre_step(v_hi, v_co, f_hi, f_co, corr_u, corr_v):
+        """Fused lockstep frame (one dispatch): hi/lo forced steps + LS fit."""
         v_hi = flow_hi.step_with_f(v_hi, f_hi, dt=args.dt)
         v_co_base = flow_lo.step_with_f(v_co, f_co, dt=args.dt)
-        vel_in_u, vel_in_v = np.asarray(v_co_base.u), np.asarray(v_co_base.v)
-
         up_u, up_v = upsample_staggered(v_co_base.u, v_co_base.v, args.scale)
         corr_u, corr_v = solve_correction(
             geom, v_hi.u - up_u, v_hi.v - up_v, corr_u, corr_v,
             beta=args.beta / args.dt, constrained=False,
         )
         v_co = StaggeredGrid(v_co_base.u + corr_u, v_co_base.v + corr_v, dom_lo)
+        return v_hi, v_co, v_co_base, corr_u, corr_v
+
+    for i in range(1, args.simsteps):
+        v_hi, v_co, v_co_base, corr_u, corr_v = pre_step(
+            v_hi, v_co, f_hi, f_co, corr_u, corr_v
+        )
+        vel_in_u, vel_in_v = np.asarray(v_co_base.u), np.asarray(v_co_base.v)
 
         f_hi, f_co = load_force(i)
 

@@ -71,23 +71,31 @@ def run(args):
     corr_v = jnp.zeros(dom_lo.v_shape(1))
     dt = 1.0
 
-    for i in range(1, args.simsteps):
+    import jax
+
+    @jax.jit
+    def pre_step(d_hi, v_hi, d_co, v_co, corr_u, corr_v):
+        """One fused lockstep frame: hi step, lo step, projected vdiff,
+        constrained LS correction — a single device dispatch per frame."""
         d_hi, v_hi, _ = flow_hi.step(d_hi, v_hi, args.re, dt=dt)
         d_co, v_co_base, _ = flow_lo.step(d_co, v_co, args.re, dt=dt)
-
-        # model inputs (pre-correction state)
-        den_in = np.asarray(d_co.values)
-        vel_in_u, vel_in_v = np.asarray(v_co_base.u), np.asarray(v_co_base.v)
-
         up_u, up_v = upsample_staggered(v_co_base.u, v_co_base.v, args.scale)
         vdiff = StaggeredGrid(v_hi.u - up_u, v_hi.v - up_v, dom_hi)
         vdiff, _p = make_incompressible(vdiff, flow_hi.masks)
-
         corr_u, corr_v = solve_correction(
             geom, vdiff.u, vdiff.v, corr_u, corr_v,
             beta=args.beta / dt, constrained=True,
         )
         v_co = StaggeredGrid(v_co_base.u + corr_u, v_co_base.v + corr_v, dom_lo)
+        return d_hi, v_hi, d_co, v_co, v_co_base, corr_u, corr_v
+
+    for i in range(1, args.simsteps):
+        d_hi, v_hi, d_co, v_co, v_co_base, corr_u, corr_v = pre_step(
+            d_hi, v_hi, d_co, v_co, corr_u, corr_v
+        )
+        # model inputs (pre-correction state)
+        den_in = np.asarray(d_co.values)
+        vel_in_u, vel_in_v = np.asarray(v_co_base.u), np.asarray(v_co_base.v)
 
         if i % 25 == 0 or i == 1:
             log.info("step %06d |corr|max=%.4f", i, float(jnp.max(jnp.abs(corr_u))))

@@ -96,6 +96,56 @@ def test_unconstrained_solution_matches_dense_oracle(geom):
     np.testing.assert_allclose(mine, sol, atol=2e-3)
 
 
+def test_constrained_matches_dense_kkt_oracle(geom):
+    """Projected CG must reproduce the exact KKT solution
+    [M G; G^T 0][v; l] = [b; 0] (the reference's Lagrange construction)."""
+    rng = np.random.RandomState(5)
+    vh_u = rng.randn(*geom.hi_fu.shape).astype(np.float32)
+    vh_v = rng.randn(*geom.hi_fv.shape).astype(np.float32)
+    prev_u = rng.randn(*geom.lo_fu.shape).astype(np.float32)
+    prev_v = rng.randn(*geom.lo_fv.shape).astype(np.float32)
+    beta = 0.9
+
+    cu, cv = solve_correction(
+        geom, jnp.asarray(vh_u), jnp.asarray(vh_v), jnp.asarray(prev_u),
+        jnp.asarray(prev_v), beta=beta, constrained=True, tol=1e-9, max_iter=6000,
+    )
+
+    w = _dense_w(geom)
+    face_mask = np.concatenate([geom.lo_fu.ravel(), geom.lo_fv.ravel()])
+    hi_mask = np.concatenate([geom.hi_fu.ravel(), geom.hi_fv.ravel()])
+    valid = face_mask > 0
+    wv = w[:, valid]
+    nf = int(valid.sum())
+    m = wv.T @ wv + 2 * beta * np.eye(nf, dtype=np.float32)
+    vh = np.concatenate([vh_u.ravel(), vh_v.ravel()]) * hi_mask
+    prev = np.concatenate([prev_u.ravel(), prev_v.ravel()]) * face_mask
+    b = wv.T @ vh + 2 * beta * prev[valid]
+
+    # dense G on valid cells
+    apply_g = make_apply_g(geom)
+    cm = geom.lo_cells
+    cvalid = cm.ravel() > 0
+    nc = int(cvalid.sum())
+    g_cols = []
+    for k in np.nonzero(cvalid)[0]:
+        e = np.zeros(cm.size, np.float32)
+        e[k] = 1.0
+        gv = apply_g(jnp.asarray(e.reshape(cm.shape)))
+        g_cols.append(_vec_to_flat(gv)[valid])
+    g = np.stack(g_cols, axis=1)  # (nf, nc)
+
+    kkt = np.zeros((nf + nc, nf + nc), np.float64)
+    kkt[:nf, :nf] = m
+    kkt[:nf, nf:] = g
+    kkt[nf:, :nf] = g.T
+    rhs = np.concatenate([b, np.zeros(nc)])
+    sol = np.linalg.lstsq(kkt, rhs, rcond=None)[0][:nf]
+
+    mine = np.concatenate([np.asarray(cu).ravel(), np.asarray(cv).ravel()])[valid]
+    np.testing.assert_allclose(mine, sol, atol=5e-3)
+
+
 def test_constrained_solution_is_divergence_free(geom):
     """karman PRE: the Lagrange construction must give G^T v = 0
     (karman_pre.py:309-318)."""
@@ -113,6 +163,8 @@ def test_constrained_solution_is_divergence_free(geom):
     apply_g = make_apply_g(geom)
     gt = jax.linear_transpose(apply_g, jnp.zeros((1, 8, 8), jnp.float32))
     (div,) = gt({"u": jnp.asarray(cu), "v": jnp.asarray(cv)})
+    # the constraint rows exist only for valid cells (npgC>-1, karman_pre.py:288)
+    div = div * jnp.asarray(geom.lo_cells)
     scale = float(jnp.max(jnp.abs(cu))) + 1e-9
     assert float(jnp.max(jnp.abs(div))) / scale < 5e-3
     assert scale > 1e-4  # nontrivial correction
