@@ -124,11 +124,15 @@ def load_pre_data(tdata, scenario: str):
 
 
 def nonzero_channel_std(data: np.ndarray) -> np.ndarray:
-    """tf_data.dataStats: std over nonzero entries per channel."""
+    """tf_data.dataStats: std over nonzero entries per channel. Constant
+    channels fall back to 1.0 (the reference divides by std(Re)=0 when trained
+    on a single Reynolds number — the Makefile warns 'don't test with -n 1',
+    karman-2d/Makefile:73; we guard instead)."""
     out = []
     for i in range(data.shape[-1]):
         col = data[..., i][data[..., i] != 0]
-        out.append(col.std() if col.size else 1.0)
+        s = float(col.std()) if col.size else 0.0
+        out.append(s if s > 0 else 1.0)
     return np.asarray(out, np.float32)
 
 
