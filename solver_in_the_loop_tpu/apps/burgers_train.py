@@ -110,6 +110,12 @@ def run(args):
     model = build_model(args.model, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     params = model.init(jax.random.PRNGKey(args.seed), jnp.zeros((args.sbatch, res_y, res_x, in_ch)))
     log.info("model %s: %d params", args.model, ckpt.param_count(params))
+    try:  # keras model.summary parity (burgers_train.py:439)
+        log.info("\n%s", model.tabulate(jax.random.PRNGKey(0),
+                                        jnp.zeros((args.sbatch, res_y, res_x, in_ch)),
+                                        depth=1, console_kwargs={"width": 100}))
+    except Exception:  # pragma: no cover - cosmetic only
+        pass
 
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)

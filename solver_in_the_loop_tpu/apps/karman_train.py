@@ -120,6 +120,11 @@ def run(args):
     feat_shape = (args.sbatch, res_y, res_x, 3)
     params = model.init(jax.random.PRNGKey(args.seed), jnp.zeros(feat_shape))
     log.info("model %s: %d params", args.model, ckpt.param_count(params))
+    try:  # keras model.summary parity (karman_train.py:459)
+        log.info("\n%s", model.tabulate(jax.random.PRNGKey(0), jnp.zeros(feat_shape),
+                                        depth=1, console_kwargs={"width": 100}))
+    except Exception:  # pragma: no cover - cosmetic only
+        pass
 
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
