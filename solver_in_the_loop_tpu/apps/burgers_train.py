@@ -47,6 +47,9 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("-l", "--len", type=float, default=32.0)
     p.add_argument("--model", default="mars_moon")
+    p.add_argument("--init", choices=["zero", "reference"], default="zero",
+                   help="output-conv init: 'zero' (stable unroll, default) or "
+                        "'reference' (Keras glorot, pair with --clip-grad)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--adplr", action="store_true")
     p.add_argument("--clip-grad", action="store_true")
@@ -107,7 +110,8 @@ def run(args):
         adplr=args.adplr, clip_grad=args.clip_grad, remat=not args.no_remat,
         seed=args.seed, dt=args.dt,
     )
-    model = build_model(args.model, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    model = build_model(args.model, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                        init=args.init)
     params = model.init(jax.random.PRNGKey(args.seed), jnp.zeros((args.sbatch, res_y, res_x, in_ch)))
     log.info("model %s: %d params", args.model, ckpt.param_count(params))
     try:  # keras model.summary parity (burgers_train.py:439)

@@ -47,6 +47,9 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("-l", "--len", type=float, default=100.0)
     p.add_argument("--model", default="mars_moon")
+    p.add_argument("--init", choices=["zero", "reference"], default="zero",
+                   help="output-conv init: 'zero' (stable unroll, default) or "
+                        "'reference' (Keras glorot, pair with --clip-grad)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--reg-loss", action="store_true",
                    help="accepted for reference CLI parity; the reference sums "
@@ -116,7 +119,8 @@ def run(args):
         adplr=args.adplr, clip_grad=args.clip_grad, remat=not args.no_remat,
         seed=args.seed,
     )
-    model = build_model(args.model, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    model = build_model(args.model, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+                        init=args.init)
     feat_shape = (args.sbatch, res_y, res_x, 3)
     params = model.init(jax.random.PRNGKey(args.seed), jnp.zeros(feat_shape))
     log.info("model %s: %d params", args.model, ckpt.param_count(params))

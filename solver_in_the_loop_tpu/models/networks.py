@@ -17,14 +17,20 @@ Inputs are normalized collocated features (B, Y, X, C) with C=3 for karman
 All convs run in a configurable compute dtype (bfloat16 on TPU by default for
 the MXU; params stay float32).
 
-Deviation from the reference (deliberate): the output conv is zero-initialized
-so an untrained network corrects nothing. With the reference's default init an
-untrained net emits corrections as large as the flow itself (|corr| ~ |v|),
-and the msteps=32 unrolled rollout explodes before the first update (the
-normalized initial loss is ~1e10 and Adam NaNs within two iterations on real
-karman data). Zero output init makes the initial unroll exactly the stable
-pure-solver rollout and lets training grow corrections from zero; capacity and
-all other layers are unchanged.
+Deviation from the reference (deliberate, default): the output conv is
+zero-initialized so an untrained network corrects nothing. With the
+reference's default init an untrained net emits corrections as large as the
+flow itself (|corr| ~ |v|), and the msteps=32 unrolled rollout explodes before
+the first update (the normalized initial loss is ~1e10 and Adam NaNs within
+two iterations on real karman data). Zero output init makes the initial
+unroll exactly the stable pure-solver rollout and lets training grow
+corrections from zero; capacity and all other layers are unchanged.
+
+`init="reference"` reproduces the reference exactly — Keras glorot_uniform on
+every conv including the head (Keras Conv2D default,
+/root/reference/karman-2d/karman_train.py:101-138) — for the ablation that
+pairs it with the reference's own blow-up mitigation `--clip-grad`
+(karman_train.py:451-454). See BENCH.md "init ablation".
 """
 
 from __future__ import annotations
@@ -37,18 +43,37 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+def _conv_inits(init: str):
+    """(hidden, output) conv kernel initializers for an init mode.
+
+    * "zero"      — flax-default hidden convs, zero output conv (stable unroll).
+    * "reference" — Keras Conv2D default glorot_uniform everywhere
+      (/root/reference/karman-2d/karman_train.py:101-138).
+    """
+    if init == "zero":
+        return nn.linear.default_kernel_init, nn.initializers.zeros
+    if init == "reference":
+        glorot = nn.initializers.glorot_uniform()
+        return glorot, glorot
+    raise KeyError(f"unknown init mode '{init}' (use 'zero' or 'reference')")
+
+
 class Mercury(nn.Module):
     compute_dtype: Dtype = jnp.float32
+    init_mode: str = "zero"
 
     @nn.compact
     def __call__(self, x):
+        kinit, out_kinit = _conv_inits(self.init_mode)
         x = x.astype(self.compute_dtype)
-        x = nn.Conv(32, (5, 5), padding="SAME", dtype=self.compute_dtype)(x)
+        x = nn.Conv(32, (5, 5), padding="SAME", dtype=self.compute_dtype,
+                    kernel_init=kinit)(x)
         x = nn.relu(x)
-        x = nn.Conv(64, (5, 5), padding="SAME", dtype=self.compute_dtype)(x)
+        x = nn.Conv(64, (5, 5), padding="SAME", dtype=self.compute_dtype,
+                    kernel_init=kinit)(x)
         x = nn.relu(x)
         x = nn.Conv(2, (5, 5), padding="SAME", dtype=self.compute_dtype,
-                    kernel_init=nn.initializers.zeros)(x)
+                    kernel_init=out_kinit)(x)
         return x.astype(jnp.float32)
 
 
@@ -56,15 +81,20 @@ class _ResBlock(nn.Module):
     features: int
     project: bool = False  # 1x1 projection on the skip when width changes
     compute_dtype: Dtype = jnp.float32
+    init_mode: str = "zero"
 
     @nn.compact
     def __call__(self, x):
+        kinit, _ = _conv_inits(self.init_mode)
         skip = x
-        y = nn.Conv(self.features, (5, 5), padding="SAME", dtype=self.compute_dtype)(x)
+        y = nn.Conv(self.features, (5, 5), padding="SAME", dtype=self.compute_dtype,
+                    kernel_init=kinit)(x)
         y = nn.leaky_relu(y)
-        y = nn.Conv(self.features, (5, 5), padding="SAME", dtype=self.compute_dtype)(y)
+        y = nn.Conv(self.features, (5, 5), padding="SAME", dtype=self.compute_dtype,
+                    kernel_init=kinit)(y)
         if self.project:
-            skip = nn.Conv(self.features, (1, 1), padding="SAME", dtype=self.compute_dtype)(skip)
+            skip = nn.Conv(self.features, (1, 1), padding="SAME", dtype=self.compute_dtype,
+                           kernel_init=kinit)(skip)
         return nn.leaky_relu(skip + y)
 
 
@@ -75,16 +105,20 @@ class MarsMoon(nn.Module):
     blocks: int = 5
     out_channels: int = 2
     compute_dtype: Dtype = jnp.float32
+    init_mode: str = "zero"
 
     @nn.compact
     def __call__(self, x):
+        kinit, out_kinit = _conv_inits(self.init_mode)
         x = x.astype(self.compute_dtype)
-        x = nn.Conv(self.features, (5, 5), padding="SAME", dtype=self.compute_dtype)(x)
+        x = nn.Conv(self.features, (5, 5), padding="SAME", dtype=self.compute_dtype,
+                    kernel_init=kinit)(x)
         x = nn.leaky_relu(x)
         for _ in range(self.blocks):
-            x = _ResBlock(self.features, compute_dtype=self.compute_dtype)(x)
+            x = _ResBlock(self.features, compute_dtype=self.compute_dtype,
+                          init_mode=self.init_mode)(x)
         x = nn.Conv(self.out_channels, (5, 5), padding="SAME", dtype=self.compute_dtype,
-                    kernel_init=nn.initializers.zeros)(x)
+                    kernel_init=out_kinit)(x)
         return x.astype(jnp.float32)
 
 
@@ -93,27 +127,32 @@ class JupiterMoon(nn.Module):
 
     stage_features: Sequence[int] = (32, 32, 64, 64, 32, 32)
     compute_dtype: Dtype = jnp.float32
+    init_mode: str = "zero"
 
     @nn.compact
     def __call__(self, x):
+        kinit, out_kinit = _conv_inits(self.init_mode)
         x = x.astype(self.compute_dtype)
-        x = nn.Conv(32, (5, 5), padding="SAME", dtype=self.compute_dtype)(x)
+        x = nn.Conv(32, (5, 5), padding="SAME", dtype=self.compute_dtype,
+                    kernel_init=kinit)(x)
         x = nn.relu(x)
         prev = 32
         for feats in self.stage_features:
-            x = _ResBlock(feats, project=(feats != prev), compute_dtype=self.compute_dtype)(x)
+            x = _ResBlock(feats, project=(feats != prev), compute_dtype=self.compute_dtype,
+                          init_mode=self.init_mode)(x)
             prev = feats
         x = nn.Conv(2, (5, 5), padding="SAME", dtype=self.compute_dtype,
-                    kernel_init=nn.initializers.zeros)(x)
+                    kernel_init=out_kinit)(x)
         return x.astype(jnp.float32)
 
 
 _MODELS = {"mercury": Mercury, "mars_moon": MarsMoon, "jupiter_moon": JupiterMoon}
 
 
-def build_model(name: str, compute_dtype: Dtype = jnp.float32) -> nn.Module:
+def build_model(name: str, compute_dtype: Dtype = jnp.float32,
+                init: str = "zero") -> nn.Module:
     """Registry lookup (replaces the reference's `eval('model_%s' % name)`,
     karman_train.py:394)."""
     if name not in _MODELS:
         raise KeyError(f"unknown model '{name}'; available: {sorted(_MODELS)}")
-    return _MODELS[name](compute_dtype=compute_dtype)
+    return _MODELS[name](compute_dtype=compute_dtype, init_mode=init)
