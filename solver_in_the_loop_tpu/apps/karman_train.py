@@ -152,13 +152,23 @@ def run(args):
         "re": jnp.asarray(data_np.re),
     }
     sharding = None
+    pad_batch_to = None
     if args.dp:
         mesh = data_parallel_mesh()
         sharding = batch_sharding(mesh)
         data = replicate(data, mesh)
         params = replicate(params, mesh)
         opt_state = replicate(opt_state, mesh)
-        log.info("data-parallel over %d devices", mesh.size)
+        if args.sbatch % mesh.size != 0:
+            pad_batch_to = -(-args.sbatch // mesh.size) * mesh.size
+            log.info(
+                "data-parallel over %d devices: batch %d padded to %d with "
+                "zero-weighted rows (gradients exact, %d rows of compute wasted); "
+                "for full efficiency pick a batch size divisible by %d",
+                mesh.size, args.sbatch, pad_batch_to,
+                pad_batch_to - args.sbatch, mesh.size)
+        else:
+            log.info("data-parallel over %d devices", mesh.size)
 
     train_step = make_karman_train_step(flow, model.apply, optimizer, cfg)
     schedule = EpochSchedule(args.nsims, args.simsteps, args.sbatch, seed=args.seed)
@@ -182,11 +192,12 @@ def run(args):
     result = run_training(
         train_step, params, opt_state, data, norm, schedule, cfg,
         start_epoch=max(args.resume, 0), on_epoch_end=on_epoch_end,
-        metrics_writer=writer, sharding=sharding,
+        metrics_writer=writer, sharding=sharding, pad_batch_to=pad_batch_to,
     )
     ckpt.save_checkpoint(args.tf, result.params)
     writer.close()
-    log.info("final loss %.6f; %.4f sec/iter", result.losses[-1], result.sec_per_iter)
+    log.info("final loss %.6f; %.4f sec/iter (best epoch), %.4f (median epoch)",
+             result.losses[-1], result.sec_per_iter, result.sec_per_iter_median)
     return result
 
 

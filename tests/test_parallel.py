@@ -85,3 +85,58 @@ def test_dp_training_step_matches_single_device():
     l2 = jax.tree_util.tree_leaves(p2)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_padded_batch3_matches_single_device():
+    """The reference SOL-32 config (batch=3) sharded over 8 devices via
+    zero-weighted padding rows (VERDICT r1 item 6): loss and updated params
+    match the unsharded batch-3 run exactly."""
+    from solver_in_the_loop_tpu.models.features import Normalization
+    from solver_in_the_loop_tpu.models.networks import build_model
+    from solver_in_the_loop_tpu.physics.karman import KarmanFlow, karman_domain
+    from solver_in_the_loop_tpu.train.trainer import (
+        SolTrainConfig,
+        make_karman_train_step,
+        make_optimizer,
+    )
+
+    mesh = data_parallel_mesh()
+    dom = karman_domain(8)
+    flow = KarmanFlow(dom, advection="shift", max_shift=1, pressure_max_iter=50)
+    cfg = SolTrainConfig(msteps=2, lr=1e-4, batch_size=3, remat=True)
+    model = build_model("mars_moon")
+    norm = Normalization.karman(1.0, 1.0, 1e6)
+
+    rng = np.random.RandomState(1)
+    n_sims = 3
+    data_np = {
+        "dens": rng.rand(n_sims, 4, dom.ny, dom.nx).astype(np.float32),
+        "u": rng.randn(n_sims, 4, dom.ny, dom.nx + 1).astype(np.float32),
+        "v": rng.randn(n_sims, 4, dom.ny + 1, dom.nx).astype(np.float32),
+        "re": (1.6e5 * 2 ** np.arange(n_sims)).astype(np.float32),
+    }
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((3, dom.ny, dom.nx, 3)))
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    train_step = make_karman_train_step(flow, model.apply, optimizer, cfg)
+
+    idx3 = np.stack([np.arange(3), np.zeros(3, np.int64)], 1).astype(np.int32)
+    idx8 = np.concatenate([idx3, np.repeat(idx3[:1], 5, axis=0)], 0)
+    wgt8 = np.array([1, 1, 1, 0, 0, 0, 0, 0], np.float32)
+
+    def copy_tree(t):
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), t)
+
+    data_s = replicate({k: jnp.asarray(v) for k, v in data_np.items()}, mesh)
+    params_s = replicate(copy_tree(params), mesh)
+    opt_s = replicate(copy_tree(opt_state), mesh)
+    idx_s = jax.device_put(jnp.asarray(idx8), batch_sharding(mesh))
+    wgt_s = jax.device_put(jnp.asarray(wgt8), batch_sharding(mesh))
+
+    data = {k: jnp.asarray(v) for k, v in data_np.items()}
+    p1, _, loss1, _ = train_step(params, opt_state, data, norm, jnp.asarray(idx3))
+    p2, _, loss2, _ = train_step(params_s, opt_s, data_s, norm, idx_s, wgt_s)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
