@@ -41,6 +41,16 @@ karman-fdt-lores-set: karman-fdt-hires-set
 			--initvH karman-fdt-hires-set/sim_00000$$i/velo_001000.npz; \
 	done
 
+# lo-res source runs of the TEST Re's (reference karman-2d/Makefile:40-46)
+karman-fdt-lores-testset: karman-fdt-hires-testset
+	for i in 0 1 2 3 4; do \
+		re=$$(( 10000 * 2**($$i+3) * 3 )); \
+		$(PY) karman-gen -o $@ -r 32 -l 100 --re $$re --seed 0 --thumb \
+			--skipsteps 0 -t 500 -d 4 \
+			--initdH karman-fdt-hires-testset/sim_00000$$i/dens_001000.npz \
+			--initvH karman-fdt-hires-testset/sim_00000$$i/velo_001000.npz; \
+	done
+
 # PRE data (per-step constrained least-squares corrections)
 karman-fdt-pre-set:
 	for i in 0 1 2 3 4 5; do \
@@ -71,6 +81,11 @@ karman-fdt-non:
 karman-fdt-sol32:
 	$(PY) karman-train --tf $@/tf --log $@/tf/run.log --epochs 100 --lr 0.0001 \
 		-l 100 -t 500 -s 4 -m 32 -n 6 -b 3 --seed 0 --train karman-fdt-hires-set
+
+# SOL-08 (reference karman-2d-tf2/Makefile:56-58)
+karman-fdt-sol08:
+	$(PY) karman-train --tf $@/tf --log $@/tf/run.log --epochs 100 --lr 0.0001 \
+		-l 100 -t 500 -s 4 -m 8 -n 6 -b 3 --seed 0 --train karman-fdt-hires-set
 
 # test rollouts: 500 steps x 5 unseen Re (batched in one rollout)
 karman-fdt-sol32/run_test: karman-fdt-hires-testset

@@ -101,6 +101,9 @@ def run(args):
 
     sc = Scene.create(args.output)
     sc.write_params(vars(args).copy())
+    # per-scene run.log for the rest of this generation run (karman.py:131)
+    scene_io.scene_run_log(sc.path).__enter__()
+    log.info("params: %s", vars(args))
     log.info("writing %s", sc.path)
 
     def write_frame(idx, u, v, gu, gv):

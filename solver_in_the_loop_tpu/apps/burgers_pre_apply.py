@@ -70,6 +70,10 @@ def run(args):
     norm = Normalization(
         jnp.asarray(stats["in.std"], jnp.float32),
         jnp.asarray(stats["out.std"][:2], jnp.float32),
+        in_means=(jnp.asarray(stats["in.mean"], jnp.float32)
+                  if stats.get("nozerocen") else None),
+        out_means=(jnp.asarray(stats["out.mean"][:2], jnp.float32)
+                   if stats.get("nozerocen") else None),
     )
 
     model = build_model(args.arch)

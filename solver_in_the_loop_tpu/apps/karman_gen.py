@@ -90,6 +90,8 @@ def run(args) -> None:
         params = vars(args).copy()
         params["re"] = float(args.re[b])
         sc.write_params(params)
+        run_log = scene_io.scene_run_log(sc.path).__enter__()
+        log.info("params: %s", params)
         log.info("writing %s (re=%.0f)", sc.path, params["re"])
 
         def write_frame(idx: int, d, u, v):
@@ -106,6 +108,8 @@ def run(args) -> None:
         for t in range(dens.shape[0]):
             # collected steps are skipsteps+1 .. simsteps-1 (karman.py:149-159)
             write_frame(args.skipsteps + 1 + t, dens[t, b], uu[t, b], vv[t, b])
+        log.info("done %s", sc.path)
+        run_log.__exit__()
 
 
 def main(argv=None) -> None:

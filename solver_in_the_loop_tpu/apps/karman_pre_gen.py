@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from solver_in_the_loop_tpu.core.resample import upsample_staggered
+from solver_in_the_loop_tpu.io import scene as scene_io
 from solver_in_the_loop_tpu.io.scene import Scene
 from solver_in_the_loop_tpu.ops.poisson import make_incompressible
 from solver_in_the_loop_tpu.physics.karman import KarmanFlow, initial_state, karman_domain
@@ -65,6 +66,9 @@ def run(args):
 
     sc = Scene.create(args.output)
     sc.write_params(vars(args).copy())
+    # per-scene run.log for the rest of this generation run (karman.py:131)
+    scene_io.scene_run_log(sc.path).__enter__()
+    log.info("params: %s", vars(args))
     log.info("writing %s", sc.path)
 
     corr_u = jnp.zeros(dom_lo.u_shape(1))

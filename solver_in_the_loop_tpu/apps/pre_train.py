@@ -47,6 +47,12 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     p.add_argument("--model", default="mars_moon")
     p.add_argument("--augment", action="store_true")
     p.add_argument("--nsigma", type=float, default=1.0)
+    p.add_argument("--novdata", action="store_true",
+                   help="no held-out split: train and validate on the full set "
+                        "(karman_train_pre.py:204-208)")
+    p.add_argument("--nozerocen", action="store_true",
+                   help="standardize subtracting the nonzero-masked channel mean "
+                        "instead of zero-centered (karman_train_pre.py:220-221)")
     p.add_argument("--nostats", action="store_true", help="skip histogram PDF plots")
     p.add_argument("tdata", nargs="+", help="PRE scene dirs (sim_*)")
     return p
@@ -123,6 +129,16 @@ def load_pre_data(tdata, scenario: str):
     return np.concatenate(inputs, 0), np.concatenate(labels, 0)
 
 
+def nonzero_channel_mean(data: np.ndarray) -> np.ndarray:
+    """tf_data.dataStats 'in.mean'/'out.mean': mean over nonzero entries per
+    channel (tf_data.py:18,22)."""
+    out = []
+    for i in range(data.shape[-1]):
+        col = data[..., i][data[..., i] != 0]
+        out.append(float(col.mean()) if col.size else 0.0)
+    return np.asarray(out, np.float32)
+
+
 def nonzero_channel_std(data: np.ndarray) -> np.ndarray:
     """tf_data.dataStats: std over nonzero entries per channel. Constant
     channels fall back to 1.0 (the reference divides by std(Re)=0 when trained
@@ -142,15 +158,28 @@ def run(args, scenario: str = "karman"):
     log.info("%s PRE data: %s -> %s", scenario, inputs.shape, labels.shape)
 
     perm = np.random.permutation(inputs.shape[0])
-    val_size = max(1, int(args.val * inputs.shape[0]))
-    tr_in, tr_lb = inputs[perm][:-val_size], labels[perm][:-val_size]
-    va_in, va_lb = inputs[perm][-val_size:], labels[perm][-val_size:]
+    if args.novdata:
+        # --novdata: train AND validate on the full shuffled set
+        # (karman_train_pre.py:204-208)
+        tr_in, tr_lb = inputs[perm], labels[perm]
+        va_in, va_lb = inputs[perm], labels[perm]
+    else:
+        val_size = max(1, int(args.val * inputs.shape[0]))
+        tr_in, tr_lb = inputs[perm][:-val_size], labels[perm][:-val_size]
+        va_in, va_lb = inputs[perm][-val_size:], labels[perm][-val_size:]
 
     in_std = nonzero_channel_std(tr_in) * args.nsigma
     out_std = nonzero_channel_std(tr_lb) * args.nsigma
+    # --nozerocen subtracts the nonzero-masked channel means before dividing
+    # (reference zero_centered=False path, tf_data.py:29-32)
+    in_mean = nonzero_channel_mean(tr_in) if args.nozerocen else np.zeros_like(in_std)
+    out_mean = nonzero_channel_mean(tr_lb) if args.nozerocen else np.zeros_like(out_std)
     stats = {
         "in.std": in_std.tolist(),
         "out.std": out_std.tolist(),
+        "in.mean": in_mean.tolist(),
+        "out.mean": out_mean.tolist(),
+        "nozerocen": bool(args.nozerocen),
         "ext.std": float(in_std[2]) if scenario == "karman" else 0.0,
         "scenario": scenario,
         "nsigma": args.nsigma,
@@ -159,10 +188,10 @@ def run(args, scenario: str = "karman"):
     with open(os.path.join(args.opath, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
 
-    tr_in = tr_in / in_std
-    tr_lb = tr_lb / out_std
-    va_in = jnp.asarray(va_in / in_std)
-    va_lb = jnp.asarray(va_lb / out_std)
+    tr_in = (tr_in - in_mean) / in_std
+    tr_lb = (tr_lb - out_mean) / out_std
+    va_in = jnp.asarray((va_in - in_mean) / in_std)
+    va_lb = jnp.asarray((va_lb - out_mean) / out_std)
 
     if not args.nostats:
         write_histogram_stats(
@@ -199,7 +228,7 @@ def run(args, scenario: str = "karman"):
 
     writer = MetricsWriter(args.opath)
     n = tr_in.shape[0]
-    steps = args.steps_per_epoch or max(1, round(n / args.batch_size))
+    steps = args.steps_per_epoch or max(1, n // args.batch_size)
     current_lr = args.lr
     rng = np.random.RandomState(args.seed)
     gstep = 0
@@ -210,8 +239,15 @@ def run(args, scenario: str = "karman"):
         opt_state = set_learning_rate(opt_state, current_lr)
         epoch_perm = rng.permutation(n)
         ep_loss = 0.0
+        pos = 0
         for s in range(steps):
-            sel = epoch_perm[(s * args.batch_size) % n : (s * args.batch_size) % n + args.batch_size]
+            # contiguous full batches from the shuffled permutation; reshuffle
+            # if --steps overruns one pass (no mid-epoch index revisits)
+            if pos + args.batch_size > n:
+                epoch_perm = rng.permutation(n)
+                pos = 0
+            sel = epoch_perm[pos:pos + args.batch_size]
+            pos += args.batch_size
             x = tr_in[sel]
             y = tr_lb[sel]
             if args.augment:

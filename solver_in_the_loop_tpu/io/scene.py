@@ -139,6 +139,29 @@ class Scene:
         )
 
 
+class scene_run_log:
+    """Context manager attaching a per-scene run.log FileHandler to the root
+    logger for the duration of a scene's generation (reference karman.py:131
+    logs each run into <scene>/run.log)."""
+
+    def __init__(self, scene_path: str):
+        import logging
+
+        self._logging = logging
+        self._handler = logging.FileHandler(os.path.join(scene_path, "run.log"))
+        self._handler.setFormatter(
+            logging.Formatter("%(asctime)s %(levelname)s %(name)s: %(message)s"))
+
+    def __enter__(self):
+        self._logging.getLogger().addHandler(self._handler)
+        return self
+
+    def __exit__(self, *exc):
+        self._logging.getLogger().removeHandler(self._handler)
+        self._handler.close()
+        return False
+
+
 def _json_ok(v) -> bool:
     try:
         json.dumps(v)

@@ -34,9 +34,14 @@ class Normalization:
 
     in_scales: jnp.ndarray
     out_scales: jnp.ndarray
+    # optional channel means for the --nozerocen PRE contract
+    # (tf_data.standardize zero_centered=False, tf_data.py:29-32); None = the
+    # default zero-centered standardize.
+    in_means: Optional[jnp.ndarray] = None
+    out_means: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
-        return (self.in_scales, self.out_scales), None
+        return (self.in_scales, self.out_scales, self.in_means, self.out_means), None
 
     @classmethod
     def tree_unflatten(cls, _aux, children):
@@ -65,6 +70,8 @@ def karman_features(velocity: StaggeredGrid, re, norm: Normalization) -> jnp.nda
         jnp.asarray(re, jnp.float32).reshape(-1, 1, 1, 1), (b, y, x, 1)
     )
     feat = jnp.concatenate([vu, re_chan], axis=-1)
+    if norm.in_means is not None:
+        feat = feat - norm.in_means
     return feat / norm.in_scales
 
 
@@ -75,6 +82,8 @@ def burgers_features(
     vu = velocity.to_collocated()
     if force is not None:
         vu = jnp.concatenate([vu, force.to_collocated()], axis=-1)
+    if norm.in_means is not None:
+        vu = vu - norm.in_means
     return vu / norm.in_scales
 
 
@@ -82,4 +91,7 @@ def correction_to_staggered(
     net_out: jnp.ndarray, norm: Normalization, domain: Domain
 ) -> StaggeredGrid:
     """Model output (B, Y, X, 2) -> scaled staggered correction field."""
-    return StaggeredGrid.from_collocated(net_out * norm.out_scales, domain)
+    out = net_out * norm.out_scales
+    if norm.out_means is not None:
+        out = out + norm.out_means
+    return StaggeredGrid.from_collocated(out, domain)

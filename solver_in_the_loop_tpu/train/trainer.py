@@ -333,8 +333,9 @@ def run_training(
                 )
         jax.block_until_ready(epoch_losses[-1])
         iter_times.append((time.perf_counter() - t_epoch) / len(epoch_losses))
-        for loss_d in epoch_losses:
-            loss_f = float(loss_d)
+        # ONE device->host transfer for the epoch's losses (per-scalar float()
+        # costs a tunnel roundtrip each on the remote-attached TPU)
+        for loss_f in np.asarray(jnp.stack(epoch_losses)).tolist():
             losses.append(loss_f)
             if metrics_writer is not None:
                 metrics_writer.scalar("loss", loss_f, global_step)

@@ -91,3 +91,46 @@ def test_burgers_features():
     np.testing.assert_allclose(np.asarray(feat[..., 1]), 1.0)  # u
     np.testing.assert_allclose(np.asarray(feat[..., 2]), 4.0)  # fv
     np.testing.assert_allclose(np.asarray(feat[..., 3]), 3.0)  # fu
+
+
+def test_nozerocen_normalization_means():
+    """--nozerocen contract: features subtract channel means before scaling,
+    corrections add them back after scaling (tf_data.py:29-38)."""
+    import jax.numpy as jnp
+    from solver_in_the_loop_tpu.core.grids import Domain, StaggeredGrid
+    from solver_in_the_loop_tpu.models.features import (
+        Normalization,
+        correction_to_staggered,
+        karman_features,
+    )
+
+    dom = Domain((4, 8), (100.0, 200.0))
+    u = jnp.ones((1, 4, 9)) * 3.0
+    v = jnp.ones((1, 5, 8)) * 5.0
+    vel = StaggeredGrid(u, v, dom)
+    norm = Normalization(
+        jnp.asarray([2.0, 2.0, 10.0]), jnp.asarray([2.0, 4.0]),
+        in_means=jnp.asarray([5.0, 3.0, 0.0]),
+        out_means=jnp.asarray([1.0, -1.0]),
+    )
+    feat = karman_features(vel, jnp.asarray([10.0]), norm)
+    # lower-face collocated samples are exactly the constant values
+    np.testing.assert_allclose(np.asarray(feat[0, :, :, 0]), 0.0, atol=1e-6)  # (5-5)/2
+    np.testing.assert_allclose(np.asarray(feat[0, :, :, 1]), 0.0, atol=1e-6)  # (3-3)/2
+    np.testing.assert_allclose(np.asarray(feat[0, :, :, 2]), 1.0, atol=1e-6)  # 10/10
+
+    out = jnp.zeros((1, 4, 8, 2))
+    corr = correction_to_staggered(out, norm, dom)
+    # zero net output deStandardizes to the means [v=1, u=-1] on interior faces
+    np.testing.assert_allclose(np.asarray(corr.v[0, :-1, :]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(corr.u[0, :, :-1]), -1.0, atol=1e-6)
+
+
+def test_nonzero_channel_mean():
+    from solver_in_the_loop_tpu.apps.pre_train import nonzero_channel_mean
+
+    data = np.zeros((2, 3, 3, 2), np.float32)
+    data[0, 0, 0, 0] = 2.0
+    data[1, 1, 1, 0] = 4.0
+    m = nonzero_channel_mean(data)
+    np.testing.assert_allclose(m, [3.0, 0.0])
