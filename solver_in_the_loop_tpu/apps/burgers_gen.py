@@ -106,24 +106,28 @@ def run(args):
     log.info("params: %s", vars(args))
     log.info("writing %s", sc.path)
 
-    def write_frame(idx, u, v, gu, gv):
-        sc.write_staggered("velo", idx, u[None], v[None])
-        sc.write_staggered("forc", idx, gu[None], gv[None])
-        if args.thumb:
-            td = thumb_dir_for(sc.path)
-            save_thumb(u, 100000.0, os.path.join(td, f"velU_{idx:06d}.png"))
-            save_thumb(v, 100000.0, os.path.join(td, f"velV_{idx:06d}.png"))
-            save_thumb(gu, 100000.0, os.path.join(td, f"frcU_{idx:06d}.png"))
-            save_thumb(gv, 100000.0, os.path.join(td, f"frcV_{idx:06d}.png"))
+    def write_thumbs(idx, u, v, gu, gv):
+        td = thumb_dir_for(sc.path)
+        save_thumb(u, 100000.0, os.path.join(td, f"velU_{idx:06d}.png"))
+        save_thumb(v, 100000.0, os.path.join(td, f"velV_{idx:06d}.png"))
+        save_thumb(gu, 100000.0, os.path.join(td, f"frcU_{idx:06d}.png"))
+        save_thumb(gv, 100000.0, os.path.join(td, f"frcV_{idx:06d}.png"))
 
     if args.skipsteps == 0:
-        write_frame(0, np.asarray(v0.u[0]), np.asarray(v0.v[0]),
-                    np.asarray(f0.u[0]), np.asarray(f0.v[0]))
-    # loop step i (1-based) writes frame i - skipsteps when i >= skipsteps
-    for t in range(uu.shape[0]):
-        i = t + 1
-        if i >= max(args.skipsteps, 1):
-            write_frame(i - args.skipsteps, uu[t, 0], vv[t, 0], fu[t, 0], fv[t, 0])
+        sc.write_staggered("velo", 0, np.asarray(v0.u[0])[None], np.asarray(v0.v[0])[None])
+        sc.write_staggered("forc", 0, np.asarray(f0.u[0])[None], np.asarray(f0.v[0])[None])
+        if args.thumb:
+            write_thumbs(0, np.asarray(v0.u[0]), np.asarray(v0.v[0]),
+                         np.asarray(f0.u[0]), np.asarray(f0.v[0]))
+    # loop step i (1-based) writes frame i - skipsteps when i >= skipsteps;
+    # all kept frames go through the native thread-pool batch writer
+    keep = [t for t in range(uu.shape[0]) if t + 1 >= max(args.skipsteps, 1)]
+    frame_ids = [t + 1 - args.skipsteps for t in keep]
+    sc.write_staggered_batch("velo", frame_ids, uu[keep, 0], vv[keep, 0])
+    sc.write_staggered_batch("forc", frame_ids, fu[keep, 0], fv[keep, 0])
+    if args.thumb:
+        for t, idx in zip(keep, frame_ids):
+            write_thumbs(idx, uu[t, 0], vv[t, 0], fu[t, 0], fv[t, 0])
     return sc
 
 

@@ -90,8 +90,8 @@ def run(args):
     sc.write_params(vars(args).copy())
     log.info("writing %s", sc.path)
     sc.write_staggered("velTf", 0, np.asarray(v0.u), np.asarray(v0.v))
-    for t in range(uu.shape[0]):
-        sc.write_staggered("velTf", t + 1, uu[t], vv[t])
+    frame_ids = [t + 1 for t in range(uu.shape[0])]
+    sc.write_staggered_batch("velTf", frame_ids, uu[:, 0], vv[:, 0])
     return frames
 
 

@@ -100,10 +100,10 @@ def run(args):
         sc.write_staggered("velTf", 0, np.asarray(v0.u[b : b + 1]), np.asarray(v0.v[b : b + 1]))
         sc.write_staggered("corTf", 0, np.zeros_like(np.asarray(v0.u[b : b + 1])),
                            np.zeros_like(np.asarray(v0.v[b : b + 1])))
-        for t in range(dens.shape[0]):
-            sc.write_centered("denTf", t + 1, dens[t, b][None])
-            sc.write_staggered("velTf", t + 1, uu[t, b][None], vv[t, b][None])
-            sc.write_staggered("corTf", t + 1, cu[t, b][None], cv[t, b][None])
+        frame_ids = [t + 1 for t in range(dens.shape[0])]
+        sc.write_centered_batch("denTf", frame_ids, dens[:, b])
+        sc.write_staggered_batch("velTf", frame_ids, uu[:, b], vv[:, b])
+        sc.write_staggered_batch("corTf", frame_ids, cu[:, b], cv[:, b])
     return frames
 
 

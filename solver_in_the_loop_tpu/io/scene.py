@@ -126,6 +126,33 @@ class Scene:
             self.frame_path(name, frame), staggered_to_legacy(np.asarray(u), np.asarray(v))
         )
 
+    def write_centered_batch(self, name: str, frame_ids, values: np.ndarray) -> None:
+        """values (N, Y, X): one legacy frame (1, Y, X, 1) per frame id, flushed
+        through the native thread-pool batch writer (io/native_npz.py) — the
+        data generators are host-compression-bound after the device rollout."""
+        from solver_in_the_loop_tpu.io import native_npz
+
+        legacy = np.asarray(values, np.float32)[:, None, :, :, None]
+        paths = [self.frame_path(name, f) for f in frame_ids]
+        if not native_npz.write_npz_batch(paths, legacy):
+            for p, fr in zip(paths, legacy):
+                write_array(p, fr)
+
+    def write_staggered_batch(self, name: str, frame_ids, u: np.ndarray, v: np.ndarray) -> None:
+        """u (N, Y, X+1), v (N, Y+1, X): legacy (1, Y+1, X+1, 2) frames via the
+        native batch writer."""
+        from solver_in_the_loop_tpu.io import native_npz
+
+        n, y, _ = u.shape
+        x = v.shape[2]
+        legacy = np.zeros((n, 1, y + 1, x + 1, 2), np.float32)
+        legacy[:, 0, :-1, :, 0] = u
+        legacy[:, 0, :, :-1, 1] = v
+        paths = [self.frame_path(name, f) for f in frame_ids]
+        if not native_npz.write_npz_batch(paths, legacy):
+            for p, fr in zip(paths, legacy):
+                write_array(p, fr)
+
     def read_centered(self, name: str, frame: int) -> np.ndarray:
         return legacy_to_centered(read_array(self.frame_path(name, frame)))
 

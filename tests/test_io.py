@@ -54,3 +54,23 @@ def test_scene_npz_layout_matches_reference(tmp_path):
     with np.load(s.frame_path("dens", 0)) as f:
         arr = f[f.files[-1]]
     assert arr.shape == (1, 4, 4, 1)
+
+
+def test_batch_writers_roundtrip(tmp_path):
+    """write_*_batch (native thread-pool, io/native_npz.py) frames read back
+    identically through the single-frame readers."""
+    from solver_in_the_loop_tpu.io.scene import Scene
+
+    sc = Scene(str(tmp_path / "sim_000000"))
+    rng = np.random.RandomState(3)
+    dens = rng.randn(5, 4, 6).astype(np.float32)
+    u = rng.randn(5, 4, 7).astype(np.float32)
+    v = rng.randn(5, 5, 6).astype(np.float32)
+    ids = [10, 11, 12, 13, 14]
+    sc.write_centered_batch("dens", ids, dens)
+    sc.write_staggered_batch("velo", ids, u, v)
+    for k, f in enumerate(ids):
+        np.testing.assert_array_equal(sc.read_centered("dens", f)[0], dens[k])
+        ur, vr = sc.read_staggered("velo", f)
+        np.testing.assert_array_equal(ur[0], u[k])
+        np.testing.assert_array_equal(vr[0], v[k])
