@@ -5,14 +5,22 @@ steps + mars_moon correction per step, batch of 3 Reynolds numbers on the
 64x32 staggered grid, Adam update — one full forward+backward per iteration
 (/root/reference/karman-2d/Makefile:78-80).
 
-vs_baseline: the reference TF1+PhiFlow implementation measures ~1.35 s/iter on
-its single-GPU setup (est. from the workload structure: 32 sequential pressure
-solves forward + backward through the unrolled graph, plus a 33-frame
-feed_dict per iteration; no public number is published — BASELINE.md). The
-north-star target is >=10x, i.e. <=0.135 s/iter; vs_baseline reports
-(reference_estimate / measured).
+Baseline basis (the reference publishes NO timing numbers):
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* `vs_baseline` uses a DERIVED kernel-launch-bound floor for the TF1+PhiFlow
+  reference on its single-GPU setup, computed in `derived_reference_floor()`
+  from the reference call graph: TF1 graph mode launches one GPU kernel per
+  elementwise op; the unrolled graph executes ~32 x (solver fwd ~60 ops +
+  pressure CG ~100 iterations x ~10 ops) forward plus ~2x that backward,
+  at ~5 us/launch => ~0.51 s/iter as a CONSERVATIVE floor (real runs also pay
+  the 33-frame feed_dict and TF session overhead; BENCH.md). The round-1
+  estimate of 1.35 s/iter is retained as `vs_r1_estimate` for continuity.
+* `mfu` / `hbm_util` report the measured FLOP/s and bytes/s of OUR compiled
+  step against the TPU v5e peaks (197 TFLOP/s bf16 — fp32 compute counted
+  against the bf16 peak, so MFU is a lower bound — and 819 GB/s HBM),
+  from XLA's compiled cost analysis.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -24,7 +32,36 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_SEC_PER_ITER_EST = 1.35
+V5E_PEAK_FLOPS = 197e12   # bf16; fp32 counted against this => MFU lower bound
+V5E_PEAK_HBM = 819e9      # bytes/s
+R1_REFERENCE_EST = 1.35   # round-1 hand estimate, kept for cross-round continuity
+
+
+def derived_reference_floor(msteps: int = 32) -> float:
+    """Kernel-launch-bound floor (seconds/iter) for the TF1+PhiFlow reference.
+
+    Op counts from the reference call graph (/root/reference/karman-2d/
+    karman_train.py:397-457 unroll; PhiFlow TF1 CG pressure solve is a
+    tf.while_loop of elementwise ops):
+      solver forward  ~60 launches (2x diffuse, BC blend, 3x advection
+                      backtrace+gather, inflow, divergence, grad-subtract)
+      pressure CG     ~100 iterations x ~10 launches
+      backward        ~2x forward (VJPs + adjoint CG)
+    at ~5e-6 s per kernel launch (2020-era single GPU, submission-bound).
+    """
+    ops_fwd = 60 + 100 * 10
+    ops_per_step = ops_fwd * 3  # fwd + ~2x bwd
+    return msteps * ops_per_step * 5e-6
+
+
+def _cost_analysis(compiled):
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
 
 
 def main() -> None:
@@ -66,24 +103,47 @@ def main() -> None:
         frames = (np.arange(batch) * 7 + i) % (n_frames - msteps - 1)
         return jnp.asarray(np.stack([sims, frames], 1), jnp.int32)
 
+    # compiled cost analysis for the roofline figures
+    flops, bytes_accessed = _cost_analysis(
+        train_step.lower(params, opt_state, data, norm, make_idx(0)).compile()
+    )
+
     # warmup / compile
     for i in range(2):
         params, opt_state, loss, _ = train_step(params, opt_state, data, norm, make_idx(i))
     jax.block_until_ready(loss)
 
-    iters = 20
+    iters = 30
     t0 = time.perf_counter()
     for i in range(iters):
         params, opt_state, loss, _ = train_step(params, opt_state, data, norm, make_idx(i))
     jax.block_until_ready(loss)
     sec_per_iter = (time.perf_counter() - t0) / iters
 
-    print(json.dumps({
+    # reference-style host feeding proxy: the TF1 loop ships the 33 GT frames
+    # host->device every iteration (karman_train.py:500-502); measure that
+    # transfer on this machine to quantify the device-resident-dataset win
+    win = np.zeros((msteps + 1, batch, dom.ny + 1, dom.nx + 1, 3), np.float32)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        jax.block_until_ready(jax.device_put(win))
+    hostfeed_sec = (time.perf_counter() - t0) / 10
+
+    floor = derived_reference_floor(msteps)
+    out = {
         "metric": "karman2d_sol32_sec_per_adam_iter",
         "value": round(sec_per_iter, 6),
         "unit": "s/iter",
-        "vs_baseline": round(REFERENCE_SEC_PER_ITER_EST / sec_per_iter, 2),
-    }))
+        "vs_baseline": round(floor / sec_per_iter, 2),
+        "baseline_basis": f"derived launch-bound floor {floor:.2f}s (bench.py docstring)",
+        "vs_r1_estimate": round(R1_REFERENCE_EST / sec_per_iter, 2),
+        "flops_per_iter": flops,
+        "mfu": round(flops / sec_per_iter / V5E_PEAK_FLOPS, 5) if flops else None,
+        "hbm_util": round(bytes_accessed / sec_per_iter / V5E_PEAK_HBM, 4)
+                    if bytes_accessed else None,
+        "hostfeed_transfer_s": round(hostfeed_sec, 6),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -62,6 +62,8 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     p.add_argument("--pretf", default=None, help="supervised pre-trained checkpoint")
     p.add_argument("--tf", default="/tmp/silt/tf", help="output dir (models, logs)")
     p.add_argument("--no-remat", action="store_true")
+    p.add_argument("--remat-policy", choices=["pressure", "pressure+advect", "none"],
+                   default="pressure", help="what the per-step remat saves (BENCH.md A/B)")
     p.add_argument("--advect", choices=["gather", "shift"], default="shift")
     p.add_argument("--max-shift", type=int, default=2)
     p.add_argument("--bf16", action="store_true", help="bfloat16 network compute")
@@ -116,7 +118,7 @@ def run(args):
 
     cfg = SolTrainConfig(
         msteps=args.msteps, lr=args.lr, epochs=args.epochs, batch_size=args.sbatch,
-        adplr=args.adplr, clip_grad=args.clip_grad, remat=not args.no_remat,
+        adplr=args.adplr, clip_grad=args.clip_grad, remat=not args.no_remat, remat_policy=args.remat_policy,
         seed=args.seed,
     )
     model = build_model(args.model, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,

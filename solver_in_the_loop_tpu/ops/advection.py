@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Union
 
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from solver_in_the_loop_tpu.core.grids import CenteredGrid, StaggeredGrid
 from solver_in_the_loop_tpu.ops.interp import bilinear_sample, shifted_stencil_sample
@@ -87,13 +88,16 @@ def semi_lagrangian(
     """Advect `field` through `velocity` for time dt (both on the same domain)."""
     dom = velocity.domain
     periodic = dom.periodic
+    # outputs are checkpoint-named so a remat policy can opt to save them
+    # (trainer._remat "pressure+advect") instead of recomputing the gathers
+    # in the backward pass
     if isinstance(field, CenteredGrid):
         u_c, v_c = velocity_at_centers(velocity)
         out = _backtrace_sample(field.values, u_c, v_c, dt, dom.dx, periodic, method, max_shift)
-        return CenteredGrid(out, dom)
+        return CenteredGrid(checkpoint_name(out, "advect"), dom)
 
     u_u, v_u = velocity_at_u_faces(velocity)
     u_v, v_v = velocity_at_v_faces(velocity)
     new_u = _backtrace_sample(field.u, u_u, v_u, dt, dom.dx, periodic, method, max_shift)
     new_v = _backtrace_sample(field.v, u_v, v_v, dt, dom.dx, periodic, method, max_shift)
-    return StaggeredGrid(new_u, new_v, dom)
+    return StaggeredGrid(checkpoint_name(new_u, "advect"), checkpoint_name(new_v, "advect"), dom)

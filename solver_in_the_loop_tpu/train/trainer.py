@@ -93,16 +93,26 @@ class SolTrainConfig:
     adplr: bool = False
     clip_grad: bool = False
     remat: bool = True
+    remat_policy: str = "pressure"  # pressure | pressure+advect | none
     seed: int = 0
     dt: float = 1.0
     log_every: int = 50
 
 
-def _remat(fn):
-    """Per-unrolled-step rematerialization that never re-runs the pressure CG:
-    the 'pressure' output of solve_pressure is saved, everything else (cheap
-    stencils + convs) is recomputed in backward."""
-    policy = jax.checkpoint_policies.save_only_these_names("pressure")
+def _remat(fn, policy_name: str = "pressure"):
+    """Per-unrolled-step rematerialization. Policies:
+
+    * "pressure"        — save only the pressure CG solution; recompute the
+                          cheap stencils + convs in backward (default).
+    * "pressure+advect" — additionally save the semi-Lagrangian advection
+                          outputs (named in ops/advection.py), skipping the
+                          gather recomputation.
+    * "none"            — plain jax.checkpoint (save only the step inputs)."""
+    if policy_name == "none":
+        return jax.checkpoint(fn)
+    names = {"pressure": ("pressure",),
+             "pressure+advect": ("pressure", "advect")}[policy_name]
+    policy = jax.checkpoint_policies.save_only_these_names(*names)
     return jax.checkpoint(fn, policy=policy)
 
 
@@ -146,7 +156,7 @@ def make_karman_train_step(
         return dens, vel
 
     if cfg.remat:
-        step_with_correction = _remat(step_with_correction)
+        step_with_correction = _remat(step_with_correction, cfg.remat_policy)
 
     def loss_fn(params, data, norm: Normalization, idx, wgt):
         sim_idx = idx[:, 0]
@@ -212,7 +222,7 @@ def make_burgers_train_step(
         return vel + corr
 
     if cfg.remat:
-        step_with_correction = _remat(step_with_correction)
+        step_with_correction = _remat(step_with_correction, cfg.remat_policy)
 
     def loss_fn(params, data, norm: Normalization, idx, wgt):
         sim_idx = idx[:, 0]
