@@ -27,7 +27,7 @@ k_eval() {  # k_eval TAG RUNDIR
   for i in 0 1 2 3 4; do
     re=$(test_re $i)
     $PY evaluate --run "$2/sim_00000$i" --ref karman-fdt-hires-testset/sim_00000$i \
-        --ref-offset 1000 --scale 4 --steps 500 > "$RES/eval_$1_re$re.json" || return 1
+        --ref-offset 1000 --scale 4 --steps 499 > "$RES/eval_$1_re$re.json" || return 1
     $PY evaluate --run "$2/sim_00000$i" --ref karman-fdt-hires-testset/sim_00000$i \
         --ref-offset 1000 --scale 4 --steps 100 > "$RES/eval100_$1_re$re.json" || return 1
   done
@@ -41,7 +41,7 @@ abl_eval() {  # abl_eval TAG  — 500-step rollout on held-out Re=480k
       --initvH karman-fdt-hires-testset/sim_000001/velo_001000.npz \
       -d 4 -r 32 -l 100 --re 480000 -t 500 || return 1
   $PY evaluate --run "runs/$1/run_test/sim_000000" --ref karman-fdt-hires-testset/sim_000001 \
-      --ref-offset 1000 --scale 4 --steps 500 > "$RES/eval_$1_re480000.json"
+      --ref-offset 1000 --scale 4 --steps 499 > "$RES/eval_$1_re480000.json"
 }
 
 pre_gen() {  # pre_gen OUTDIR BETA

@@ -42,6 +42,11 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
 def run(args):
     run_sc = Scene(args.run)
     ref_sc = Scene(args.ref)
+    avail = run_sc.frames(args.field)
+    if avail and args.steps > avail[-1]:
+        log.warning("only %d rollout frames available; clamping --steps %d",
+                    avail[-1], args.steps)
+        args.steps = avail[-1]
     # batch all frames, downsample once on device (per-frame roundtrips are slow)
     ur, vr, uh, vh = [], [], [], []
     for t in range(1, args.steps + 1):
