@@ -101,10 +101,6 @@ def run(args):
 
     sc = Scene.create(args.output)
     sc.write_params(vars(args).copy())
-    # per-scene run.log for the rest of this generation run (karman.py:131)
-    scene_io.scene_run_log(sc.path).__enter__()
-    log.info("params: %s", vars(args))
-    log.info("writing %s", sc.path)
 
     def write_thumbs(idx, u, v, gu, gv):
         td = thumb_dir_for(sc.path)
@@ -113,21 +109,27 @@ def run(args):
         save_thumb(gu, 100000.0, os.path.join(td, f"frcU_{idx:06d}.png"))
         save_thumb(gv, 100000.0, os.path.join(td, f"frcV_{idx:06d}.png"))
 
-    if args.skipsteps == 0:
-        sc.write_staggered("velo", 0, np.asarray(v0.u[0])[None], np.asarray(v0.v[0])[None])
-        sc.write_staggered("forc", 0, np.asarray(f0.u[0])[None], np.asarray(f0.v[0])[None])
+    # with-scoped per-scene run.log (karman.py:131): repeated programmatic
+    # run() calls must not accumulate root-logger handlers (ADVICE r2 item 1)
+    with scene_io.scene_run_log(sc.path):
+        log.info("params: %s", vars(args))
+        log.info("writing %s", sc.path)
+
+        if args.skipsteps == 0:
+            sc.write_staggered("velo", 0, np.asarray(v0.u[0])[None], np.asarray(v0.v[0])[None])
+            sc.write_staggered("forc", 0, np.asarray(f0.u[0])[None], np.asarray(f0.v[0])[None])
+            if args.thumb:
+                write_thumbs(0, np.asarray(v0.u[0]), np.asarray(v0.v[0]),
+                             np.asarray(f0.u[0]), np.asarray(f0.v[0]))
+        # loop step i (1-based) writes frame i - skipsteps when i >= skipsteps;
+        # all kept frames go through the native thread-pool batch writer
+        keep = [t for t in range(uu.shape[0]) if t + 1 >= max(args.skipsteps, 1)]
+        frame_ids = [t + 1 - args.skipsteps for t in keep]
+        sc.write_staggered_batch("velo", frame_ids, uu[keep, 0], vv[keep, 0])
+        sc.write_staggered_batch("forc", frame_ids, fu[keep, 0], fv[keep, 0])
         if args.thumb:
-            write_thumbs(0, np.asarray(v0.u[0]), np.asarray(v0.v[0]),
-                         np.asarray(f0.u[0]), np.asarray(f0.v[0]))
-    # loop step i (1-based) writes frame i - skipsteps when i >= skipsteps;
-    # all kept frames go through the native thread-pool batch writer
-    keep = [t for t in range(uu.shape[0]) if t + 1 >= max(args.skipsteps, 1)]
-    frame_ids = [t + 1 - args.skipsteps for t in keep]
-    sc.write_staggered_batch("velo", frame_ids, uu[keep, 0], vv[keep, 0])
-    sc.write_staggered_batch("forc", frame_ids, fu[keep, 0], fv[keep, 0])
-    if args.thumb:
-        for t, idx in zip(keep, frame_ids):
-            write_thumbs(idx, uu[t, 0], vv[t, 0], fu[t, 0], fv[t, 0])
+            for t, idx in zip(keep, frame_ids):
+                write_thumbs(idx, uu[t, 0], vv[t, 0], fu[t, 0], fv[t, 0])
     return sc
 
 

@@ -75,10 +75,6 @@ def run(args):
 
     sc = Scene.create(args.output)
     sc.write_params(vars(args).copy())
-    # per-scene run.log for the rest of this generation run (karman.py:131)
-    scene_io.scene_run_log(sc.path).__enter__()
-    log.info("params: %s", vars(args))
-    log.info("writing %s", sc.path)
 
     corr_u = jnp.zeros(dom_lo.u_shape(1))
     corr_v = jnp.zeros(dom_lo.v_shape(1))
@@ -99,32 +95,36 @@ def run(args):
         v_co = StaggeredGrid(v_co_base.u + corr_u, v_co_base.v + corr_v, dom_lo)
         return v_hi, v_co, v_co_base, corr_u, corr_v
 
-    for i in range(1, args.simsteps):
-        v_hi, v_co, v_co_base, corr_u, corr_v = pre_step(
-            v_hi, v_co, f_hi, f_co, corr_u, corr_v
-        )
-        vel_in_u, vel_in_v = np.asarray(v_co_base.u), np.asarray(v_co_base.v)
+    # with-scoped per-scene run.log (karman.py:131; ADVICE r2 item 1)
+    with scene_io.scene_run_log(sc.path):
+        log.info("params: %s", vars(args))
+        log.info("writing %s", sc.path)
+        for i in range(1, args.simsteps):
+            v_hi, v_co, v_co_base, corr_u, corr_v = pre_step(
+                v_hi, v_co, f_hi, f_co, corr_u, corr_v
+            )
+            vel_in_u, vel_in_v = np.asarray(v_co_base.u), np.asarray(v_co_base.v)
 
-        f_hi, f_co = load_force(i)
+            f_hi, f_co = load_force(i)
 
-        if i % 25 == 0 or i == 1:
-            log.info("step %06d |corr|max=%.5f", i, float(jnp.max(jnp.abs(corr_u))))
-        if args.thumb:
-            import os
+            if i % 25 == 0 or i == 1:
+                log.info("step %06d |corr|max=%.5f", i, float(jnp.max(jnp.abs(corr_u))))
+            if args.thumb:
+                import os
 
-            from solver_in_the_loop_tpu.io.thumbs import save_thumb, thumb_dir_for
+                from solver_in_the_loop_tpu.io.thumbs import save_thumb, thumb_dir_for
 
-            td = thumb_dir_for(sc.path)
-            save_thumb(np.asarray(v_co.u[0]), 100000.0, os.path.join(td, f"velUC_{i:06d}.png"))
-            save_thumb(np.asarray(v_co.v[0]), 100000.0, os.path.join(td, f"velVC_{i:06d}.png"))
-            save_thumb(np.asarray(corr_u[0]), 100000.0, os.path.join(td, f"corUC_{i:06d}.png"))
-            save_thumb(np.asarray(corr_v[0]), 100000.0, os.path.join(td, f"corVC_{i:06d}.png"))
-        sc.write_staggered("veloH", i, np.asarray(v_hi.u), np.asarray(v_hi.v))
-        sc.write_staggered("veloC", i, np.asarray(v_co.u), np.asarray(v_co.v))
-        sc.write_staggered("velo", i, vel_in_u, vel_in_v)
-        sc.write_staggered("corr", i, np.asarray(corr_u), np.asarray(corr_v))
-        sc.write_staggered("forcH", i, np.asarray(f_hi.u), np.asarray(f_hi.v))
-        sc.write_staggered("forc", i, np.asarray(f_co.u), np.asarray(f_co.v))
+                td = thumb_dir_for(sc.path)
+                save_thumb(np.asarray(v_co.u[0]), 100000.0, os.path.join(td, f"velUC_{i:06d}.png"))
+                save_thumb(np.asarray(v_co.v[0]), 100000.0, os.path.join(td, f"velVC_{i:06d}.png"))
+                save_thumb(np.asarray(corr_u[0]), 100000.0, os.path.join(td, f"corUC_{i:06d}.png"))
+                save_thumb(np.asarray(corr_v[0]), 100000.0, os.path.join(td, f"corVC_{i:06d}.png"))
+            sc.write_staggered("veloH", i, np.asarray(v_hi.u), np.asarray(v_hi.v))
+            sc.write_staggered("veloC", i, np.asarray(v_co.u), np.asarray(v_co.v))
+            sc.write_staggered("velo", i, vel_in_u, vel_in_v)
+            sc.write_staggered("corr", i, np.asarray(corr_u), np.asarray(corr_v))
+            sc.write_staggered("forcH", i, np.asarray(f_hi.u), np.asarray(f_hi.v))
+            sc.write_staggered("forc", i, np.asarray(f_co.u), np.asarray(f_co.v))
     return sc
 
 

@@ -42,11 +42,17 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
 def run(args):
     run_sc = Scene(args.run)
     ref_sc = Scene(args.ref)
-    avail = run_sc.frames(args.field)
-    if avail and args.steps > avail[-1]:
-        log.warning("only %d rollout frames available; clamping --steps %d",
-                    avail[-1], args.steps)
-        args.steps = avail[-1]
+    # clamp to the longest contiguous frame prefix 1..N — a mid-range gap
+    # (interrupted generation / partial batch write) must clamp too, not only
+    # a short run (ADVICE r2 item 3)
+    have = set(run_sc.frames(args.field))
+    n_contig = 0
+    while (n_contig + 1) in have:
+        n_contig += 1
+    if args.steps > n_contig:
+        log.warning("only %d contiguous rollout frames available; clamping --steps %d",
+                    n_contig, args.steps)
+        args.steps = n_contig
     # batch all frames, downsample once on device (per-frame roundtrips are slow)
     ur, vr, uh, vh = [], [], [], []
     for t in range(1, args.steps + 1):

@@ -90,30 +90,31 @@ def run(args) -> None:
         params = vars(args).copy()
         params["re"] = float(args.re[b])
         sc.write_params(params)
-        run_log = scene_io.scene_run_log(sc.path).__enter__()
-        log.info("params: %s", params)
-        log.info("writing %s (re=%.0f)", sc.path, params["re"])
+        # with-scoped so an exception mid-scene can't leak the FileHandler
+        # into the next scene's run.log (ADVICE r2 item 1)
+        with scene_io.scene_run_log(sc.path):
+            log.info("params: %s", params)
+            log.info("writing %s (re=%.0f)", sc.path, params["re"])
 
-        if args.skipsteps == 0:
-            sc.write_centered("dens", 0, np.asarray(d0.values[b])[None])
-            sc.write_staggered("velo", 0, np.asarray(v0.u[b])[None], np.asarray(v0.v[b])[None])
-        # collected steps are skipsteps+1 .. simsteps-1 (karman.py:149-159);
-        # all frames flushed through the native thread-pool batch writer
-        frame_ids = [args.skipsteps + 1 + t for t in range(dens.shape[0])]
-        sc.write_centered_batch("dens", frame_ids, dens[:, b])
-        sc.write_staggered_batch("velo", frame_ids, uu[:, b], vv[:, b])
-        if args.thumb:
-            td = thumb_dir_for(sc.path)
             if args.skipsteps == 0:
-                save_thumb(np.asarray(d0.values[b]), 10000.0, os.path.join(td, "dens_000000.png"))
-                save_thumb(np.asarray(v0.u[b]), 10000.0, os.path.join(td, "velU_000000.png"))
-                save_thumb(np.asarray(v0.v[b]), 10000.0, os.path.join(td, "velV_000000.png"))
-            for t, idx in enumerate(frame_ids):
-                save_thumb(dens[t, b], 10000.0, os.path.join(td, f"dens_{idx:06d}.png"))
-                save_thumb(uu[t, b], 10000.0, os.path.join(td, f"velU_{idx:06d}.png"))
-                save_thumb(vv[t, b], 10000.0, os.path.join(td, f"velV_{idx:06d}.png"))
-        log.info("done %s", sc.path)
-        run_log.__exit__()
+                sc.write_centered("dens", 0, np.asarray(d0.values[b])[None])
+                sc.write_staggered("velo", 0, np.asarray(v0.u[b])[None], np.asarray(v0.v[b])[None])
+            # collected steps are skipsteps+1 .. simsteps-1 (karman.py:149-159);
+            # all frames flushed through the native thread-pool batch writer
+            frame_ids = [args.skipsteps + 1 + t for t in range(dens.shape[0])]
+            sc.write_centered_batch("dens", frame_ids, dens[:, b])
+            sc.write_staggered_batch("velo", frame_ids, uu[:, b], vv[:, b])
+            if args.thumb:
+                td = thumb_dir_for(sc.path)
+                if args.skipsteps == 0:
+                    save_thumb(np.asarray(d0.values[b]), 10000.0, os.path.join(td, "dens_000000.png"))
+                    save_thumb(np.asarray(v0.u[b]), 10000.0, os.path.join(td, "velU_000000.png"))
+                    save_thumb(np.asarray(v0.v[b]), 10000.0, os.path.join(td, "velV_000000.png"))
+                for t, idx in enumerate(frame_ids):
+                    save_thumb(dens[t, b], 10000.0, os.path.join(td, f"dens_{idx:06d}.png"))
+                    save_thumb(uu[t, b], 10000.0, os.path.join(td, f"velU_{idx:06d}.png"))
+                    save_thumb(vv[t, b], 10000.0, os.path.join(td, f"velV_{idx:06d}.png"))
+            log.info("done %s", sc.path)
 
 
 def main(argv=None) -> None:

@@ -66,10 +66,6 @@ def run(args):
 
     sc = Scene.create(args.output)
     sc.write_params(vars(args).copy())
-    # per-scene run.log for the rest of this generation run (karman.py:131)
-    scene_io.scene_run_log(sc.path).__enter__()
-    log.info("params: %s", vars(args))
-    log.info("writing %s", sc.path)
 
     corr_u = jnp.zeros(dom_lo.u_shape(1))
     corr_v = jnp.zeros(dom_lo.v_shape(1))
@@ -78,50 +74,62 @@ def run(args):
     import jax
 
     @jax.jit
-    def pre_step(d_hi, v_hi, d_co, v_co, corr_u, corr_v):
+    def pre_step(d_hi, v_hi, d_co, v_co, corr_u, corr_v, p_hi, p_lo, p_vd):
         """One fused lockstep frame: hi step, lo step, projected vdiff,
-        constrained LS correction — a single device dispatch per frame."""
-        d_hi, v_hi, _ = flow_hi.step(d_hi, v_hi, args.re, dt=dt)
-        d_co, v_co_base, _ = flow_lo.step(d_co, v_co, args.re, dt=dt)
+        constrained LS correction — a single device dispatch per frame.
+        All three pressure solves warm-start from the previous frame's
+        pressures (p_hi, p_lo, p_vd)."""
+        d_hi, v_hi, p_hi = flow_hi.step(d_hi, v_hi, args.re, dt=dt, p0=p_hi)
+        d_co, v_co_base, p_lo = flow_lo.step(d_co, v_co, args.re, dt=dt, p0=p_lo)
         up_u, up_v = upsample_staggered(v_co_base.u, v_co_base.v, args.scale)
         vdiff = StaggeredGrid(v_hi.u - up_u, v_hi.v - up_v, dom_hi)
-        vdiff, _p = make_incompressible(vdiff, flow_hi.masks)
+        vdiff, p_vd = make_incompressible(vdiff, flow_hi.masks, p0=p_vd)
         corr_u, corr_v = solve_correction(
             geom, vdiff.u, vdiff.v, corr_u, corr_v,
             beta=args.beta / dt, constrained=True,
         )
         v_co = StaggeredGrid(v_co_base.u + corr_u, v_co_base.v + corr_v, dom_lo)
-        return d_hi, v_hi, d_co, v_co, v_co_base, corr_u, corr_v
+        return d_hi, v_hi, d_co, v_co, v_co_base, corr_u, corr_v, p_hi, p_lo, p_vd
 
-    for i in range(1, args.simsteps):
-        d_hi, v_hi, d_co, v_co, v_co_base, corr_u, corr_v = pre_step(
-            d_hi, v_hi, d_co, v_co, corr_u, corr_v
-        )
-        # model inputs (pre-correction state)
-        den_in = np.asarray(d_co.values)
-        vel_in_u, vel_in_v = np.asarray(v_co_base.u), np.asarray(v_co_base.v)
+    p_hi = jnp.zeros_like(d_hi.values)
+    p_lo = jnp.zeros_like(d_co.values)
+    p_vd = jnp.zeros_like(d_hi.values)
 
-        if i % 25 == 0 or i == 1:
-            log.info("step %06d |corr|max=%.4f", i, float(jnp.max(jnp.abs(corr_u))))
-        if args.skipsteps < i:
-            if args.thumb:
-                import os
+    # per-scene run.log scoped with/try-finally so an exception mid-scene
+    # doesn't leak the FileHandler (ADVICE r2 item 1)
+    with scene_io.scene_run_log(sc.path):
+        log.info("params: %s", vars(args))
+        log.info("writing %s", sc.path)
+        for i in range(1, args.simsteps):
+            (d_hi, v_hi, d_co, v_co, v_co_base, corr_u, corr_v,
+             p_hi, p_lo, p_vd) = pre_step(
+                d_hi, v_hi, d_co, v_co, corr_u, corr_v, p_hi, p_lo, p_vd
+            )
+            # model inputs (pre-correction state)
+            den_in = np.asarray(d_co.values)
+            vel_in_u, vel_in_v = np.asarray(v_co_base.u), np.asarray(v_co_base.v)
 
-                from solver_in_the_loop_tpu.io.thumbs import save_thumb, thumb_dir_for
+            if i % 25 == 0 or i == 1:
+                log.info("step %06d |corr|max=%.4f", i, float(jnp.max(jnp.abs(corr_u))))
+            if args.skipsteps < i:
+                if args.thumb:
+                    import os
 
-                td = thumb_dir_for(sc.path)
-                save_thumb(np.asarray(d_hi.values[0]), 10000.0, os.path.join(td, f"densH_{i:06d}.png"))
-                save_thumb(np.asarray(v_co.u[0]), 10000.0, os.path.join(td, f"velUC_{i:06d}.png"))
-                save_thumb(np.asarray(v_co.v[0]), 10000.0, os.path.join(td, f"velVC_{i:06d}.png"))
-                save_thumb(np.asarray(corr_u[0]), 10000.0, os.path.join(td, f"corUC_{i:06d}.png"))
-                save_thumb(np.asarray(corr_v[0]), 10000.0, os.path.join(td, f"corVC_{i:06d}.png"))
-            sc.write_centered("densH", i, np.asarray(d_hi.values))
-            sc.write_staggered("veloH", i, np.asarray(v_hi.u), np.asarray(v_hi.v))
-            sc.write_centered("densC", i, np.asarray(d_co.values))
-            sc.write_staggered("veloC", i, np.asarray(v_co.u), np.asarray(v_co.v))
-            sc.write_centered("dens", i, den_in)
-            sc.write_staggered("velo", i, vel_in_u, vel_in_v)
-            sc.write_staggered("corr", i, np.asarray(corr_u), np.asarray(corr_v))
+                    from solver_in_the_loop_tpu.io.thumbs import save_thumb, thumb_dir_for
+
+                    td = thumb_dir_for(sc.path)
+                    save_thumb(np.asarray(d_hi.values[0]), 10000.0, os.path.join(td, f"densH_{i:06d}.png"))
+                    save_thumb(np.asarray(v_co.u[0]), 10000.0, os.path.join(td, f"velUC_{i:06d}.png"))
+                    save_thumb(np.asarray(v_co.v[0]), 10000.0, os.path.join(td, f"velVC_{i:06d}.png"))
+                    save_thumb(np.asarray(corr_u[0]), 10000.0, os.path.join(td, f"corUC_{i:06d}.png"))
+                    save_thumb(np.asarray(corr_v[0]), 10000.0, os.path.join(td, f"corVC_{i:06d}.png"))
+                sc.write_centered("densH", i, np.asarray(d_hi.values))
+                sc.write_staggered("veloH", i, np.asarray(v_hi.u), np.asarray(v_hi.v))
+                sc.write_centered("densC", i, np.asarray(d_co.values))
+                sc.write_staggered("veloC", i, np.asarray(v_co.u), np.asarray(v_co.v))
+                sc.write_centered("dens", i, den_in)
+                sc.write_staggered("velo", i, vel_in_u, vel_in_v)
+                sc.write_staggered("corr", i, np.asarray(corr_u), np.asarray(corr_v))
     return sc
 
 

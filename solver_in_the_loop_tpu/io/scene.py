@@ -140,14 +140,13 @@ class Scene:
 
     def write_staggered_batch(self, name: str, frame_ids, u: np.ndarray, v: np.ndarray) -> None:
         """u (N, Y, X+1), v (N, Y+1, X): legacy (1, Y+1, X+1, 2) frames via the
-        native batch writer."""
+        native batch writer. The legacy encoding lives ONLY in
+        staggered_to_legacy (treating N as its batch axis here), so the on-disk
+        layout has exactly one definition (ADVICE r2 item 4)."""
         from solver_in_the_loop_tpu.io import native_npz
 
-        n, y, _ = u.shape
-        x = v.shape[2]
-        legacy = np.zeros((n, 1, y + 1, x + 1, 2), np.float32)
-        legacy[:, 0, :-1, :, 0] = u
-        legacy[:, 0, :, :-1, 1] = v
+        legacy = staggered_to_legacy(
+            np.asarray(u, np.float32), np.asarray(v, np.float32))[:, None]
         paths = [self.frame_path(name, f) for f in frame_ids]
         if not native_npz.write_npz_batch(paths, legacy):
             for p, fr in zip(paths, legacy):

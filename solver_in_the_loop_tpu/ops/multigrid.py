@@ -117,15 +117,22 @@ def mg_pcg_solve(
     b: jnp.ndarray,
     tol: float = 1e-5,
     max_iter: int = 200,
+    x0=None,
 ) -> jnp.ndarray:
-    """Preconditioned CG with the V-cycle as M^-1 (per-batch convergence)."""
+    """Preconditioned CG with the V-cycle as M^-1 (per-batch convergence).
+
+    x0 warm-starts the iteration; the tol threshold stays relative to ||b||
+    (see ops/poisson.py cg_solve_info)."""
     def dot(a, c):
         return jnp.sum(a * c, axis=(1, 2), keepdims=True)
 
     bb = dot(b, b)
     thresh = (tol * tol) * jnp.maximum(bb, 1e-30)
-    x0 = jnp.zeros_like(b)
-    r0 = b
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+        r0 = b
+    else:
+        r0 = b - _apply_a(h.levels[0], x0)
     z0 = v_cycle(h, r0)
     rz0 = dot(r0, z0)
 

@@ -28,8 +28,9 @@ def pallas_cg_available(shape, periodic: bool) -> bool:
     return b * per_buf * _NUM_CG_BUFFERS < _VMEM_BUDGET_BYTES
 
 
-def pallas_cg_solve(b, masks, tol: float, max_iter: int):
+def pallas_cg_solve(b, masks, tol: float, max_iter: int, x0=None):
     """Solve the masked Poisson system with the fused kernel. See cg_kernel.py."""
     from solver_in_the_loop_tpu.ops.pallas.cg_kernel import fused_cg_solve
 
-    return fused_cg_solve(b, masks.fluid, masks.face_u, masks.face_v, tol=tol, max_iter=max_iter)
+    return fused_cg_solve(b, masks.fluid, masks.face_u, masks.face_v,
+                          tol=tol, max_iter=max_iter, x0=x0)

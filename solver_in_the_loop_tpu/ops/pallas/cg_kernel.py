@@ -36,9 +36,10 @@ def _neighbor_shifts(p: jnp.ndarray):
     return p_e, p_w, p_n, p_s
 
 
-def _cg_kernel(b_ref, fluid_ref, me_ref, mw_ref, mn_ref, ms_ref, diag_ref, x_ref,
-               *, tol: float, max_iter: int):
+def _cg_kernel(b_ref, x0_ref, fluid_ref, me_ref, mw_ref, mn_ref, ms_ref, diag_ref,
+               x_ref, *, tol: float, max_iter: int):
     b = b_ref[0]
+    x0 = x0_ref[0]
     fluid = fluid_ref[0]
     me, mw, mn, ms = me_ref[0], mw_ref[0], mn_ref[0], ms_ref[0]
     diag = diag_ref[0]
@@ -69,16 +70,23 @@ def _cg_kernel(b_ref, fluid_ref, me_ref, mw_ref, mn_ref, ms_ref, diag_ref, x_ref
         pv = r + beta * pv
         return (i + 1, x, r, pv, rs_new)
 
-    x0 = jnp.zeros_like(b)
-    _, x, _, _, _ = lax.while_loop(cond, body, (jnp.int32(0), x0, b, b, bb))
+    # warm start: r0 = b - A x0 (x0 == 0 gives exactly r0 = b, the cold path);
+    # the tol threshold stays relative to ||b||, so a good x0 cuts iterations
+    r0 = b - apply_a(x0)
+    rs0 = jnp.sum(r0 * r0)
+    _, x, _, _, _ = lax.while_loop(cond, body, (jnp.int32(0), x0, r0, r0, rs0))
     x_ref[0] = x
 
 
 @functools.partial(jax.jit, static_argnames=("tol", "max_iter", "interpret"))
 def fused_cg_solve(b, fluid, face_u, face_v, tol: float = 1e-5, max_iter: int = 1000,
-                   interpret: bool = False):
-    """b (B, H, W); fluid (1, H, W); face_u (1, H, W+1); face_v (1, H+1, W)."""
+                   interpret: bool = False, x0=None):
+    """b (B, H, W); fluid (1, H, W); face_u (1, H, W+1); face_v (1, H+1, W).
+
+    x0 (B, H, W) warm-starts CG (r0 = b - A x0); None means cold start."""
     bsz, h, w = b.shape
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
     me = face_u[:, :, 1:]
     mw = face_u[:, :, :-1]
     mn = face_v[:, 1:, :]
@@ -92,7 +100,7 @@ def fused_cg_solve(b, fluid, face_u, face_v, tol: float = 1e-5, max_iter: int = 
         functools.partial(_cg_kernel, tol=tol, max_iter=max_iter),
         grid=(bsz,),
         out_shape=jax.ShapeDtypeStruct(b.shape, b.dtype),
-        in_specs=[block, shared, shared, shared, shared, shared, shared],
+        in_specs=[block, block, shared, shared, shared, shared, shared, shared],
         out_specs=block,
         interpret=interpret,
-    )(b, fluid, me, mw, mn, ms, diag)
+    )(b, x0, fluid, me, mw, mn, ms, diag)

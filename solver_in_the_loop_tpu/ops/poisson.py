@@ -87,20 +87,30 @@ def _dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(a * b, axis=(1, 2), keepdims=True)
 
 
-def cg_solve(matvec, b: jnp.ndarray, tol: float, max_iter: int) -> jnp.ndarray:
+def cg_solve_info(
+    matvec, b: jnp.ndarray, tol: float, max_iter: int,
+    x0: Optional[jnp.ndarray] = None,
+):
     """Batched matrix-free CG: solves matvec(x) = b per batch element.
 
-    Stops when every batch element's residual norm falls below
-    tol * ||b||, or at max_iter. Runs as a lax.while_loop with all state on
+    Returns (x, iterations). Stops when every batch element's residual norm
+    falls below tol * ||b||, or at max_iter. `x0` warm-starts the iteration
+    (consecutive solver steps have nearly identical pressure fields — the
+    convergence threshold stays relative to ||b||, so a good x0 directly
+    cuts the iteration count). Runs as a lax.while_loop with all state on
     device; tiny karman-scale systems are instead dispatched to the fused
     Pallas kernel by `solve_pressure` (ops/pallas/cg.py).
     """
     b_norm_sq = _dot(b, b)
     thresh = (tol * tol) * jnp.maximum(b_norm_sq, 1e-30)
 
-    x0 = jnp.zeros_like(b)
-    r0 = b
-    rs0 = b_norm_sq
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+        r0 = b
+        rs0 = b_norm_sq
+    else:
+        r0 = b - matvec(x0)
+        rs0 = _dot(r0, r0)
 
     def cond(state):
         i, _x, _r, _p, rs = state
@@ -119,8 +129,15 @@ def cg_solve(matvec, b: jnp.ndarray, tol: float, max_iter: int) -> jnp.ndarray:
         p = r + beta * p
         return (i + 1, x, r, p, rs_new)
 
-    _, x, _, _, _ = lax.while_loop(cond, body, (jnp.int32(0), x0, r0, r0, rs0))
-    return x
+    iters, x, _, _, _ = lax.while_loop(cond, body, (jnp.int32(0), x0, r0, r0, rs0))
+    return x, iters
+
+
+def cg_solve(
+    matvec, b: jnp.ndarray, tol: float, max_iter: int,
+    x0: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    return cg_solve_info(matvec, b, tol, max_iter, x0)[0]
 
 
 @partial(jax.jit, static_argnames=("periodic", "tol", "max_iter", "backend"))
@@ -131,11 +148,19 @@ def solve_pressure(
     tol: float = 1e-5,
     max_iter: int = 1000,
     backend: str = "auto",
+    x0: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Solve div(mask*grad(p)) = div on fluid cells (p = 0 in obstacles).
 
     Differentiable via lax.custom_linear_solve: the VJP solves the same SPD
     system (implicit-function adjoint), independent of the iteration count.
+
+    x0 warm-starts the FORWARD solve only (consecutive solver steps in a
+    rollout/unroll have nearly identical pressures, cutting the iteration
+    count several-fold); it is stop_gradient'ed — the solution and its
+    gradients are x0-independent (solved to the same tol-vs-||b|| threshold)
+    — and the adjoint solve cold-starts, since its RHS is a cotangent with
+    no relation to x0.
     """
     fluid = masks.fluid
 
@@ -144,6 +169,9 @@ def solve_pressure(
         return jnp.where(fluid > 0, -lp, p)
 
     rhs = jnp.where(fluid > 0, -div, 0.0)
+    if x0 is not None:
+        # zero on solids so the warm residual respects A's identity block
+        x0 = lax.stop_gradient(jnp.where(fluid > 0, x0, 0.0))
 
     use_pallas = False
     use_mg = backend == "mg"
@@ -161,8 +189,8 @@ def solve_pressure(
     if use_pallas:
         from solver_in_the_loop_tpu.ops.pallas.cg import pallas_cg_solve
 
-        def solve_fn(_mv, b):
-            return pallas_cg_solve(b, masks, tol=tol, max_iter=max_iter)
+        def solve_fn(_mv, b, x0=None):
+            return pallas_cg_solve(b, masks, tol=tol, max_iter=max_iter, x0=x0)
     elif use_mg:
         from solver_in_the_loop_tpu.core.grids import Boundary, Domain
         from solver_in_the_loop_tpu.ops.multigrid import build_mg_hierarchy, mg_pcg_solve
@@ -171,16 +199,44 @@ def solve_pressure(
         dom = Domain((ny, nx), (float(ny), float(nx)), Boundary.OPEN)
         hierarchy = build_mg_hierarchy(masks, dom)
 
-        def solve_fn(_mv, b):
-            return mg_pcg_solve(hierarchy, b, tol=tol, max_iter=max_iter)
+        def solve_fn(_mv, b, x0=None):
+            return mg_pcg_solve(hierarchy, b, tol=tol, max_iter=max_iter, x0=x0)
     else:
-        def solve_fn(mv, b):
-            return cg_solve(mv, b, tol=tol, max_iter=max_iter)
+        def solve_fn(mv, b, x0=None):
+            return cg_solve(mv, b, tol=tol, max_iter=max_iter, x0=x0)
 
-    p = lax.custom_linear_solve(matvec, rhs, solve_fn, symmetric=True)
+    if x0 is None:
+        p = lax.custom_linear_solve(matvec, rhs, solve_fn, symmetric=True)
+    else:
+        p = lax.custom_linear_solve(
+            matvec, rhs, partial(solve_fn, x0=x0),
+            transpose_solve=solve_fn, symmetric=True,
+        )
     # tag for remat policies: saving 'pressure' lets jax.checkpoint rematerialize
     # the cheap stencil work while never re-running the CG solve in backward
     return checkpoint_name(p, "pressure")
+
+
+def pressure_solve_iterations(
+    div: jnp.ndarray,
+    masks: ProjectionMasks,
+    periodic: bool = False,
+    tol: float = 1e-5,
+    max_iter: int = 1000,
+    x0: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Diagnostic (non-differentiable): the XLA-CG iteration count this solve
+    takes. Used by bench.py to report p50/p95 iterations cold vs warm."""
+    fluid = masks.fluid
+
+    def matvec(p):
+        lp = masked_laplacian(p, masks.face_u, masks.face_v, periodic=periodic)
+        return jnp.where(fluid > 0, -lp, p)
+
+    rhs = jnp.where(fluid > 0, -div, 0.0)
+    if x0 is not None:
+        x0 = jnp.where(fluid > 0, x0, 0.0)
+    return cg_solve_info(matvec, rhs, tol=tol, max_iter=max_iter, x0=x0)[1]
 
 
 def make_incompressible(
@@ -189,11 +245,13 @@ def make_incompressible(
     tol: float = 1e-5,
     max_iter: int = 1000,
     backend: str = "auto",
+    p0: Optional[jnp.ndarray] = None,
 ):
     """Project a MAC velocity to a divergence-free field (PhiFlow parity).
 
     1. zero velocity on inaccessible faces (hard obstacle BCs)
-    2. solve the masked Poisson system for pressure
+    2. solve the masked Poisson system for pressure (warm-started from p0,
+       typically the previous step's pressure)
     3. subtract the masked pressure gradient
 
     Returns (velocity, pressure).
@@ -203,7 +261,8 @@ def make_incompressible(
     u = velocity.u * masks.face_u
     v = velocity.v * masks.face_v
     div = divergence(u, v)
-    p = solve_pressure(div, masks, periodic=periodic, tol=tol, max_iter=max_iter, backend=backend)
+    p = solve_pressure(div, masks, periodic=periodic, tol=tol, max_iter=max_iter,
+                       backend=backend, x0=p0)
     gu, gv = pressure_gradient(p, periodic=periodic)
     u = u - gu * masks.face_u
     v = v - gv * masks.face_v

@@ -89,11 +89,37 @@ class KarmanFlow:
         velocity: StaggeredGrid,
         re,
         dt: float = 1.0,
+        p0=None,
     ):
         """One solver step. re: scalar or (B,) per-batch Reynolds numbers.
 
+        p0 warm-starts the pressure CG (pass the previous step's pressure in
+        rollouts/unrolls; see ops/poisson.py solve_pressure).
         Returns (density, velocity, pressure).
         """
+        density, velocity = self.pre_projection(density, velocity, re, dt)
+
+        # 4) projection with obstacle masks
+        velocity, pressure = make_incompressible(
+            velocity,
+            self._masks,
+            tol=self.pressure_tol,
+            max_iter=self.pressure_max_iter,
+            backend=self.pressure_backend,
+            p0=p0,
+        )
+        return density, velocity, pressure
+
+    def pre_projection(
+        self,
+        density: CenteredGrid,
+        velocity: StaggeredGrid,
+        re,
+        dt: float = 1.0,
+    ):
+        """Steps 1-3 of `step` (diffuse -> BC blend -> advect), i.e. everything
+        before the pressure projection. Exposed so diagnostics (bench.py CG
+        iteration stats) can reproduce the projection's true RHS."""
         dom = self.domain
         res = dom.nx  # "reference resolution is size in x direction" (karman_train.py:406)
         re_arr = jnp.asarray(re, jnp.float32).reshape(-1, 1, 1)
@@ -112,16 +138,7 @@ class KarmanFlow:
         density = semi_lagrangian(density, velocity, dt, self.advection, self.max_shift)
         density = CenteredGrid(density.values + self._inflow * dt, dom)
         velocity = semi_lagrangian(velocity, velocity, dt, self.advection, self.max_shift)
-
-        # 4) projection with obstacle masks
-        velocity, pressure = make_incompressible(
-            velocity,
-            self._masks,
-            tol=self.pressure_tol,
-            max_iter=self.pressure_max_iter,
-            backend=self.pressure_backend,
-        )
-        return density, velocity, pressure
+        return density, velocity
 
 
 def initial_state(domain: Domain, batch: int = 1):

@@ -47,8 +47,9 @@ def karman_rollout(
     @jax.jit
     def rollout(params, d0: CenteredGrid, v0: StaggeredGrid, re):
         def step_fn(carry, _):
-            d, v = carry
-            d, v, _p = flow.step(d, v, re, dt=dt)
+            d, v, p = carry
+            # warm-start each projection from the previous step's pressure
+            d, v, p = flow.step(d, v, re, dt=dt, p0=p)
             cu = jnp.zeros_like(v.u)
             cv = jnp.zeros_like(v.v)
             if model_apply is not None:
@@ -56,13 +57,13 @@ def karman_rollout(
                 corr = correction_to_staggered(model_apply(params, feat), norm, dom)
                 v = v + corr
                 cu, cv = corr.u, corr.v
-            return (d, v), (d.values, v.u, v.v, cu, cv)
+            return (d, v, p), (d.values, v.u, v.v, cu, cv)
 
         def warm(carry, _):
             new_carry, _out = step_fn(carry, None)
             return new_carry, None
 
-        carry = (d0, v0)
+        carry = (d0, v0, jnp.zeros_like(d0.values))
         if collect_from > 0:
             carry, _ = lax.scan(warm, carry, None, length=collect_from)
         _, frames = lax.scan(step_fn, carry, None, length=n_collect)

@@ -148,12 +148,14 @@ def make_karman_train_step(
     dom = flow.domain
     msteps = cfg.msteps
 
-    def step_with_correction(params, norm, dens, vel, re_batch):
-        dens, vel, _p = flow.step(dens, vel, re_batch, dt=cfg.dt)
+    def step_with_correction(params, norm, dens, vel, p_prev, re_batch):
+        # p_prev warm-starts the pressure CG (stop_gradient'ed inside
+        # solve_pressure; gradients stay exact implicit-function adjoints)
+        dens, vel, p = flow.step(dens, vel, re_batch, dt=cfg.dt, p0=p_prev)
         feat = karman_features(vel, re_batch, norm)
         corr = correction_to_staggered(model_apply(params, feat), norm, dom)
         vel = vel + corr
-        return dens, vel
+        return dens, vel, p
 
     if cfg.remat:
         step_with_correction = _remat(step_with_correction, cfg.remat_policy)
@@ -173,14 +175,15 @@ def make_karman_train_step(
         std_u = norm.out_scales[1]
 
         def body(carry, gt):
-            dens, vel = carry
+            dens, vel, p = carry
             gtu, gtv = gt
-            dens, vel = step_with_correction(params, norm, dens, vel, re_batch)
+            dens, vel, p = step_with_correction(params, norm, dens, vel, p, re_batch)
             step_loss = jnp.sum(w * (l2_loss_rows((gtv - vel.v) / std_v)
                                      + l2_loss_rows((gtu - vel.u) / std_u)))
-            return (dens, vel), step_loss
+            return (dens, vel, p), step_loss
 
-        (_, _), step_losses = jax.lax.scan(body, (d0, v0), (gt_u, gt_v))
+        p_init = jnp.zeros_like(d0.values)
+        (_, _, _), step_losses = jax.lax.scan(body, (d0, v0, p_init), (gt_u, gt_v))
         return jnp.sum(step_losses) / msteps, step_losses
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -372,18 +375,32 @@ def set_learning_rate(opt_state, lr: float):
     Matches the reference's feed-dict lr placeholder (karman_train.py:449-457).
     Only touches `optax.InjectHyperparamsState` (the public state type of
     `optax.inject_hyperparams`) via NamedTuple `_replace` — no in-place
-    mutation of optimizer internals."""
+    mutation of optimizer internals. Descends into plain tuples AND NamedTuple
+    wrapper states (optax.MultiSteps / apply_if_finite / masked), and raises
+    if no learning_rate hyperparameter was found anywhere — a silent no-op
+    here would disable --adplr / the PRE lr schedule (ADVICE r2 item 2)."""
+    found = 0
 
     def rec(state):
+        nonlocal found
         # NamedTuple with a 'hyperparams' field = an inject_hyperparams state
         # (optax.InjectHyperparamsState / InjectStatefulHyperparamsState).
         if isinstance(state, tuple) and "hyperparams" in getattr(state, "_fields", ()):
             hp = dict(state.hyperparams)
             if "learning_rate" in hp:
                 hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+                found += 1
             return state._replace(hyperparams=hp)
-        if isinstance(state, tuple) and not hasattr(state, "_fields"):
+        if isinstance(state, tuple):
+            if hasattr(state, "_fields"):  # wrapper NamedTuple state
+                return state._replace(**{f: rec(getattr(state, f)) for f in state._fields})
             return tuple(rec(s) for s in state)
         return state
 
-    return rec(opt_state)
+    new_state = rec(opt_state)
+    if not found:
+        raise ValueError(
+            "set_learning_rate: no inject_hyperparams 'learning_rate' found in "
+            "the optimizer state; build the optimizer with "
+            "optax.inject_hyperparams (see make_optimizer)")
+    return new_state

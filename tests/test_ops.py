@@ -243,3 +243,66 @@ def test_solve_pressure_matches_dense_solution():
     rhs = np.where(np.asarray(fluid).reshape(-1) > 0, -np.asarray(div).reshape(-1), 0)
     p_dense = np.linalg.solve(a, rhs)
     np.testing.assert_allclose(np.asarray(p).reshape(-1), p_dense, atol=1e-3)
+
+
+# --- pressure warm start -----------------------------------------------------
+
+def test_warm_start_matches_cold_solution():
+    """solve_pressure(x0=...) converges to the same pressure as the cold solve
+    (the solution is x0-independent; only the iteration count changes)."""
+    dom = Domain((16, 16), (16.0, 16.0), Boundary.OPEN)
+    fluid = sphere_fluid_mask(dom, (8.0, 8.0), 3.0)
+    masks = masks_from_fluid_cells(fluid, dom)
+    rng = np.random.RandomState(41)
+    div = jnp.asarray(rng.randn(1, 16, 16).astype(np.float32))
+    p_cold = solve_pressure(div, masks, tol=1e-8, max_iter=4000)
+    # warm from a perturbed copy of the solution AND from garbage
+    for x0 in (p_cold + 0.01 * jnp.asarray(rng.randn(1, 16, 16).astype(np.float32)),
+               jnp.asarray(100.0 * rng.randn(1, 16, 16).astype(np.float32))):
+        p_warm = solve_pressure(div, masks, tol=1e-8, max_iter=4000, x0=x0)
+        np.testing.assert_allclose(np.asarray(p_warm), np.asarray(p_cold), atol=1e-4)
+
+
+def test_warm_start_cuts_iterations():
+    from solver_in_the_loop_tpu.ops.poisson import pressure_solve_iterations
+
+    dom = Domain((32, 32), (32.0, 32.0), Boundary.OPEN)
+    fluid = sphere_fluid_mask(dom, (16.0, 16.0), 5.0)
+    masks = masks_from_fluid_cells(fluid, dom)
+    rng = np.random.RandomState(43)
+    div = jnp.asarray(rng.randn(1, 32, 32).astype(np.float32))
+    p = solve_pressure(div, masks, tol=1e-5, max_iter=4000)
+    it_cold = int(pressure_solve_iterations(div, masks, tol=1e-5, max_iter=4000))
+    # a nearby rhs (consecutive-step analogue) warm-started from p
+    div2 = div + 0.01 * jnp.asarray(rng.randn(1, 32, 32).astype(np.float32))
+    it_warm = int(pressure_solve_iterations(div2, masks, tol=1e-5, max_iter=4000, x0=p))
+    it_cold2 = int(pressure_solve_iterations(div2, masks, tol=1e-5, max_iter=4000))
+    # 1% rhs perturbation => ~2 of 5 residual decades already converged; the
+    # saving grows as consecutive steps get closer (see BENCH.md measured
+    # karman-step numbers)
+    assert it_warm < it_cold2 * 0.85, (it_warm, it_cold2, it_cold)
+    # warm start from the exact solution of the SAME rhs: ~instant
+    it_exact = int(pressure_solve_iterations(div, masks, tol=1e-5, max_iter=4000, x0=p))
+    assert it_exact <= 2, it_exact
+
+
+def test_warm_start_gradients_match_cold():
+    """x0 is stop_gradient'ed: gradients through a warm-started projection
+    equal the cold-start gradients (implicit-function adjoint both ways)."""
+    dom = Domain((8, 8), (8.0, 8.0), Boundary.OPEN)
+    masks = open_domain_masks(dom)
+    rng = np.random.RandomState(47)
+    x0 = jnp.asarray(rng.randn(1, 8, 8).astype(np.float32))
+
+    def loss(u_flat, warm):
+        u = u_flat.reshape(1, 8, 9)
+        v = jnp.zeros((1, 9, 8))
+        vel, _ = make_incompressible(
+            StaggeredGrid(u, v, dom), masks, tol=1e-10, max_iter=4000,
+            p0=x0 if warm else None)
+        return jnp.sum(vel.u**2)
+
+    u0 = jnp.asarray(rng.randn(72).astype(np.float32))
+    g_cold = jax.grad(loss)(u0, False)
+    g_warm = jax.grad(loss)(u0, True)
+    np.testing.assert_allclose(np.asarray(g_warm), np.asarray(g_cold), atol=1e-4)

