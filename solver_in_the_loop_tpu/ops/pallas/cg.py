@@ -28,9 +28,19 @@ def pallas_cg_available(shape, periodic: bool) -> bool:
     return b * per_buf * _NUM_CG_BUFFERS < _VMEM_BUDGET_BYTES
 
 
+import os
+
+# The batched single-instance kernel cuts the sequential CG chain ~Bx on the
+# single-TensorCore chip (see cg_kernel.fused_cg_solve). It is interpret-mode
+# verified; production dispatch is gated on a real-hardware Mosaic compile
+# check (scripts/validate_batched_cg.py, run when the TPU is free) because a
+# mid-queue compile failure would sink the round's workload runs.
+_BATCHED = os.environ.get("SILT_PALLAS_BATCHED", "0") == "1"
+
+
 def pallas_cg_solve(b, masks, tol: float, max_iter: int, x0=None):
     """Solve the masked Poisson system with the fused kernel. See cg_kernel.py."""
     from solver_in_the_loop_tpu.ops.pallas.cg_kernel import fused_cg_solve
 
     return fused_cg_solve(b, masks.fluid, masks.face_u, masks.face_v,
-                          tol=tol, max_iter=max_iter, x0=x0)
+                          tol=tol, max_iter=max_iter, x0=x0, batched=_BATCHED)

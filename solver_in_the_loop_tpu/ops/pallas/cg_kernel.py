@@ -36,6 +36,67 @@ def _neighbor_shifts(p: jnp.ndarray):
     return p_e, p_w, p_n, p_s
 
 
+def _neighbor_shifts_b(p: jnp.ndarray):
+    """Batched (E, W, N, S) with zero ghosts; p is (B, H, W), shifts act on
+    the spatial (last two) axes."""
+    b, h, w = p.shape
+    col = lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+    row = lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
+    p_e = pltpu.roll(p, shift=w - 1, axis=2) * (col < w - 1)
+    p_w = pltpu.roll(p, shift=1, axis=2) * (col > 0)
+    p_n = pltpu.roll(p, shift=h - 1, axis=1) * (row < h - 1)
+    p_s = pltpu.roll(p, shift=1, axis=1) * (row > 0)
+    return p_e, p_w, p_n, p_s
+
+
+def _cg_kernel_batched(b_ref, x0_ref, fluid_ref, me_ref, mw_ref, mn_ref, ms_ref,
+                       diag_ref, x_ref, *, tol: float, max_iter: int):
+    """Whole-batch CG in ONE kernel instance: per-batch alpha/beta via
+    keepdims reductions. On a single-TensorCore TPU a grid over the batch
+    runs SEQUENTIALLY, tripling the dependent-iteration chain at batch 3;
+    batching the elementwise work instead leaves the chain length at the
+    slowest element's iteration count."""
+    b = b_ref[...]
+    x0 = x0_ref[...]
+    fluid = fluid_ref[...]          # (1, H, W), broadcasts over the batch
+    me, mw, mn, ms = me_ref[...], mw_ref[...], mn_ref[...], ms_ref[...]
+    diag = diag_ref[...]
+    solid = 1.0 - fluid
+
+    def apply_a(p):
+        p_e, p_w, p_n, p_s = _neighbor_shifts_b(p)
+        lap = me * p_e + mw * p_w + mn * p_n + ms * p_s - diag * p
+        return fluid * (-lap) + solid * p
+
+    def dot(a, c):  # (B, H, W) -> (B, 1, 1)
+        return jnp.sum(a * c, axis=(1, 2), keepdims=True)
+
+    bb = dot(b, b)
+    thresh = (tol * tol) * jnp.maximum(bb, 1e-30)
+
+    def cond(state):
+        i, _x, _r, _p, rs = state
+        return jnp.logical_and(i < max_iter, jnp.any(rs > thresh))
+
+    def body(state):
+        i, x, r, pv, rs = state
+        ap = apply_a(pv)
+        p_ap = dot(pv, ap)
+        safe = jnp.where(p_ap == 0.0, 1.0, p_ap)
+        alpha = jnp.where(p_ap == 0.0, 0.0, rs / safe)
+        x = x + alpha * pv
+        r = r - alpha * ap
+        rs_new = dot(r, r)
+        beta = rs_new / jnp.where(rs == 0.0, 1.0, rs)
+        pv = r + beta * pv
+        return (i + 1, x, r, pv, rs_new)
+
+    r0 = b - apply_a(x0)
+    rs0 = dot(r0, r0)
+    _, x, _, _, _ = lax.while_loop(cond, body, (jnp.int32(0), x0, r0, r0, rs0))
+    x_ref[...] = x
+
+
 def _cg_kernel(b_ref, x0_ref, fluid_ref, me_ref, mw_ref, mn_ref, ms_ref, diag_ref,
                x_ref, *, tol: float, max_iter: int):
     b = b_ref[0]
@@ -78,12 +139,17 @@ def _cg_kernel(b_ref, x0_ref, fluid_ref, me_ref, mw_ref, mn_ref, ms_ref, diag_re
     x_ref[0] = x
 
 
-@functools.partial(jax.jit, static_argnames=("tol", "max_iter", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tol", "max_iter", "interpret", "batched"))
 def fused_cg_solve(b, fluid, face_u, face_v, tol: float = 1e-5, max_iter: int = 1000,
-                   interpret: bool = False, x0=None):
+                   interpret: bool = False, x0=None, batched: bool = True):
     """b (B, H, W); fluid (1, H, W); face_u (1, H, W+1); face_v (1, H+1, W).
 
-    x0 (B, H, W) warm-starts CG (r0 = b - A x0); None means cold start."""
+    x0 (B, H, W) warm-starts CG (r0 = b - A x0); None means cold start.
+
+    batched=True (default) runs the whole batch in ONE kernel instance —
+    a grid over the batch would execute its CG loops sequentially on the
+    single TensorCore, multiplying the dependent-iteration chain by B.
+    batched=False keeps the per-element grid (per-element early exit)."""
     bsz, h, w = b.shape
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -92,6 +158,16 @@ def fused_cg_solve(b, fluid, face_u, face_v, tol: float = 1e-5, max_iter: int = 
     mn = face_v[:, 1:, :]
     ms = face_v[:, :-1, :]
     diag = me + mw + mn + ms
+
+    if batched:
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_cg_kernel_batched, tol=tol, max_iter=max_iter),
+            out_shape=jax.ShapeDtypeStruct(b.shape, b.dtype),
+            in_specs=[full] * 8,
+            out_specs=full,
+            interpret=interpret,
+        )(b, x0, fluid, me, mw, mn, ms, diag)
 
     block = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     shared = pl.BlockSpec((1, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)

@@ -49,3 +49,34 @@ def test_fused_cg_converges():
     lp = masked_laplacian(x, masks.face_u, masks.face_v)
     residual = rhs - (-lp)
     assert float(jnp.max(jnp.abs(residual))) < 1e-3
+
+
+def test_fused_cg_batched_matches_grid_variant():
+    """The single-instance batched kernel and the per-element grid kernel are
+    the same CG (identical iterates when truncated at the same count)."""
+    dom = Domain((8, 8), (8.0, 8.0), Boundary.OPEN)
+    fluid = sphere_fluid_mask(dom, (4.0, 4.0), 1.5)
+    masks = masks_from_fluid_cells(fluid, dom)
+    rng = np.random.RandomState(7)
+    rhs = jnp.where(fluid > 0, jnp.asarray(rng.randn(3, 8, 8).astype(np.float32)), 0.0)
+    a = fused_cg_solve(rhs, masks.fluid, masks.face_u, masks.face_v,
+                       tol=1e-10, max_iter=60, interpret=True, batched=True)
+    b = fused_cg_solve(rhs, masks.fluid, masks.face_u, masks.face_v,
+                       tol=1e-10, max_iter=60, interpret=True, batched=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_cg_warm_start():
+    """x0 = the converged solution => the kernel returns it (near) unchanged;
+    a perturbed x0 still converges to the cold solution."""
+    dom = Domain((8, 8), (8.0, 8.0), Boundary.OPEN)
+    fluid = jnp.ones((1, 8, 8), jnp.float32)
+    masks = masks_from_fluid_cells(fluid, dom)
+    rng = np.random.RandomState(9)
+    rhs = jnp.asarray(rng.randn(2, 8, 8).astype(np.float32))
+    cold = fused_cg_solve(rhs, masks.fluid, masks.face_u, masks.face_v,
+                          tol=1e-8, max_iter=120, interpret=True)
+    warm = fused_cg_solve(rhs, masks.fluid, masks.face_u, masks.face_v,
+                          tol=1e-8, max_iter=120, interpret=True,
+                          x0=cold + 0.01 * jnp.asarray(rng.randn(2, 8, 8).astype(np.float32)))
+    np.testing.assert_allclose(np.asarray(warm), np.asarray(cold), atol=1e-3)
