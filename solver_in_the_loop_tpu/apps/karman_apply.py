@@ -45,6 +45,8 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     p.add_argument("--advect", choices=["gather", "shift"], default="shift")
     p.add_argument("--max-shift", type=int, default=2)
     p.add_argument("--no-model", action="store_true", help="pure-solver rollout (source run)")
+    p.add_argument("--ptol", type=float, default=1e-5, help="pressure CG tolerance")
+    p.add_argument("--pmaxiter", type=int, default=1000, help="pressure CG max iterations")
     return p
 
 
@@ -66,7 +68,8 @@ def load_initial(args, dom, batch):
 
 def run(args):
     dom = karman_domain(args.res, args.len)
-    flow = KarmanFlow(dom, advection=args.advect, max_shift=args.max_shift)
+    flow = KarmanFlow(dom, advection=args.advect, max_shift=args.max_shift,
+                      pressure_tol=args.ptol, pressure_max_iter=args.pmaxiter)
     batch = len(args.re)
     d0, v0 = load_initial(args, dom, batch)
 
