@@ -105,13 +105,14 @@ def run(args):
              p_hi, p_lo, p_vd) = pre_step(
                 d_hi, v_hi, d_co, v_co, corr_u, corr_v, p_hi, p_lo, p_vd
             )
-            # model inputs (pre-correction state)
-            den_in = np.asarray(d_co.values)
-            vel_in_u, vel_in_v = np.asarray(v_co_base.u), np.asarray(v_co_base.v)
 
             if i % 25 == 0 or i == 1:
                 log.info("step %06d |corr|max=%.4f", i, float(jnp.max(jnp.abs(corr_u))))
             if args.skipsteps < i:
+                # device->host fetches only for stored frames (the 999-frame
+                # warmup stays fully on device)
+                den_in = np.asarray(d_co.values)
+                vel_in_u, vel_in_v = np.asarray(v_co_base.u), np.asarray(v_co_base.v)
                 if args.thumb:
                     import os
 
