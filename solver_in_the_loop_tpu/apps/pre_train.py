@@ -212,8 +212,24 @@ def run(args, scenario: str = "karman"):
     opt = optax.inject_hyperparams(optax.adam)(learning_rate=args.lr)
     opt_state = opt.init(params)
 
+    # TPU-first: the whole (few-hundred-MB) training set lives on device; each
+    # step ships only a (B,) int32 index vector + (B,) flip flags through the
+    # tunnel (the per-step host->device batch feed was the bottleneck at 400
+    # epochs x ~93 steps — same redesign as train/trainer.py for SOL).
+    tr_in_d = jnp.asarray(tr_in)
+    tr_lb_d = jnp.asarray(tr_lb)
+    flip_signs_d = jnp.asarray(flip_signs)
+
     @jax.jit
-    def train_step(params, opt_state, x, y):
+    def train_step(params, opt_state, x_all, y_all, sel, flip):
+        x = x_all[sel]
+        y = y_all[sel]
+        if args.augment:
+            both = jnp.concatenate([x, y], axis=-1)
+            flipped = both[:, :, ::-1, :] * flip_signs_d
+            both = jnp.where(flip[:, None, None, None], flipped, both)
+            x, y = both[..., :-2], both[..., -2:]
+
         def loss_fn(p):
             pred = model.apply(p, x)
             return jnp.mean((pred - y) ** 2)
@@ -238,7 +254,7 @@ def run(args, scenario: str = "karman"):
 
         opt_state = set_learning_rate(opt_state, current_lr)
         epoch_perm = rng.permutation(n)
-        ep_loss = 0.0
+        ep_losses = []
         pos = 0
         for s in range(steps):
             # contiguous full batches from the shuffled permutation; reshuffle
@@ -248,22 +264,19 @@ def run(args, scenario: str = "karman"):
                 pos = 0
             sel = epoch_perm[pos:pos + args.batch_size]
             pos += args.batch_size
-            x = tr_in[sel]
-            y = tr_lb[sel]
-            if args.augment:
-                flip = rng.rand(len(sel)) > 0.5
-                both = np.concatenate([x, y], axis=-1)
-                both[flip] = both[flip][:, :, ::-1, :] * flip_signs
-                x, y = both[..., :-2], both[..., -2:]
-            params, opt_state, loss = train_step(params, opt_state, jnp.asarray(x), jnp.asarray(y))
-            ep_loss += float(loss)
+            flip = rng.rand(len(sel)) > 0.5 if args.augment else np.zeros(len(sel), bool)
+            params, opt_state, loss = train_step(
+                params, opt_state, tr_in_d, tr_lb_d,
+                jnp.asarray(sel, jnp.int32), jnp.asarray(flip))
+            ep_losses.append(loss)  # stays on device; synced once per epoch
             gstep += 1
         val = float(eval_mse(params, va_in, va_lb))
-        writer.scalar("loss", ep_loss / steps, gstep)
+        ep_loss = float(jnp.mean(jnp.stack(ep_losses)))
+        writer.scalar("loss", ep_loss, gstep)
         writer.scalar("val_loss", val, gstep)
         writer.scalar("lr", current_lr, gstep)
         if epoch % 10 == 0 or epoch == args.epochs - 1:
-            log.info("epoch %03d loss=%.6f val=%.6f lr=%.1e", epoch + 1, ep_loss / steps, val, current_lr)
+            log.info("epoch %03d loss=%.6f val=%.6f lr=%.1e", epoch + 1, ep_loss, val, current_lr)
         ckpt.save_checkpoint(args.opath, params, opt_state, epoch=epoch + 1) if epoch % 50 == 49 else None
     ckpt.save_checkpoint(args.opath, params)
     writer.close()
