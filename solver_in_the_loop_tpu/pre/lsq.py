@@ -157,11 +157,19 @@ def _tdot(a, b):
     return sum(leaves)
 
 
-def tree_cg(matvec, b, tol: float = 1e-6, max_iter: int = 2000):
-    """Matrix-free CG on arbitrary pytrees (SPD matvec)."""
+def tree_cg(matvec, b, tol: float = 1e-6, max_iter: int = 2000, x0=None):
+    """Matrix-free CG on arbitrary pytrees (SPD matvec). x0 warm-starts the
+    iteration; the stopping threshold stays relative to ||b|| (so a good x0
+    directly cuts iterations, ops/poisson.py cg_solve_info)."""
     bb = _tdot(b, b)
     thresh = (tol * tol) * jnp.maximum(bb, 1e-30)
-    x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
+    if x0 is None:
+        x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
+        r0 = b
+        rs0 = bb
+    else:
+        r0 = jax.tree_util.tree_map(lambda bb_, aa: bb_ - aa, b, matvec(x0))
+        rs0 = _tdot(r0, r0)
 
     def cond(state):
         i, _x, _r, _p, rs = state
@@ -180,21 +188,33 @@ def tree_cg(matvec, b, tol: float = 1e-6, max_iter: int = 2000):
         p = jax.tree_util.tree_map(lambda rr, pp: rr + beta * pp, r, p)
         return (i + 1, x, r, p, rs_new)
 
-    _, x, _, _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), x0, b, b, bb))
+    _, x, _, _, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), x0, r0, r0, rs0))
     return x
 
 
-def _ppcg(apply_m, project, b, tol: float, max_iter: int):
+def _ppcg(apply_m, project, b, tol: float, max_iter: int, x0=None):
     """Projected preconditioned CG (Gould/Hribar/Nocedal) for
     min 1/2 x^T M x - b^T x  s.t. G^T x = 0: the projection acts as the
     preconditioner (z = P r), search directions live in the constraint null
     space, and iterates stay feasible by construction — numerically robust
-    where naive CG on P M P drifts off the subspace."""
-    x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
-    r0 = b
-    z0 = project(r0)
+    where naive CG on P M P drifts off the subspace.
+
+    x0 warm-starts the iteration; it is projected onto the feasible space
+    first (PPCG preserves the start's constraint violation, so an unprojected
+    x0 would leak it into the solution). The threshold stays pinned to the
+    COLD initial energy <b, P b> so warm starts cut iterations rather than
+    tightening the effective tolerance."""
+    z_b = project(b)
+    thresh = (tol * tol) * jnp.maximum(_tdot(b, z_b), 1e-30)
+    if x0 is None:
+        x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
+        r0 = b
+        z0 = z_b
+    else:
+        x0 = project(x0)
+        r0 = jax.tree_util.tree_map(lambda bb_, aa: bb_ - aa, b, apply_m(x0))
+        z0 = project(r0)
     rz0 = _tdot(r0, z0)
-    thresh = (tol * tol) * jnp.maximum(rz0, 1e-30)
 
     def cond(state):
         i, _x, _r, _z, _p, rz = state
@@ -268,11 +288,10 @@ def solve_correction(
         lambda a, p, m: (a + two_beta * p) * m, wt_vh, prev, {"u": lo_fu, "v": lo_fv}
     )
 
-    def minv(y: Vec) -> Vec:
-        return tree_cg(apply_m, y, tol=tol, max_iter=max_iter)
-
     if not constrained:
-        vl = minv(b)
+        # warm-start from the previous frame's correction (it is also the
+        # temporal-regularizer target, so it is close to the new solution)
+        vl = tree_cg(apply_m, b, tol=tol, max_iter=max_iter, x0=prev)
     else:
         # Projected CG: solve P M P x = P b on the G^T x = 0 subspace, where
         # P v = v - G (G^T G)^-1 G^T v. Equivalent to the reference's Lagrange
@@ -296,6 +315,8 @@ def solve_correction(
             gp = apply_g(p)
             return jax.tree_util.tree_map(lambda a, g_: a - g_, v, gp)
 
-        vl = _ppcg(apply_m, project, b, tol=tol, max_iter=max_iter)
+        # prev is the previous frame's projected-CG output, so it satisfies
+        # the constraint to solve tolerance — a valid PPCG warm start
+        vl = _ppcg(apply_m, project, b, tol=tol, max_iter=max_iter, x0=prev)
 
     return vl["u"] * lo_fu, vl["v"] * lo_fv
