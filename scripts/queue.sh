@@ -286,14 +286,26 @@ run_stage k_eval_presr k_presr_test -- bash -c '
   source scripts/round2_queue_lib.sh; k_eval presr karman-fdt-presr/run_test'
 
 # ------------------------------------------------- lo-res source sets (VERDICT r2 #8)
-run_stage k_lores_set -- bash -c '
+# reference protocol: lo-res source runs INITIALIZED from the hi-res frame
+# 1000, 500 steps, all frames stored (/root/reference/karman-2d/Makefile:34-46)
+run_stage k_lores_set k_gen_train -- bash -c '
   rm -rf karman-fdt-lores-set
-  python -u -m solver_in_the_loop_tpu karman-gen -o karman-fdt-lores-set -r 32 -l 100 --seed 0 --thumb \
-      --re 160000 320000 640000 1280000 2560000 5120000'
-run_stage k_lores_testset -- bash -c '
+  for i in 0 1 2 3 4 5; do
+    re=$(( 10000 * (2**(i+4)) ))
+    python -u -m solver_in_the_loop_tpu karman-gen -o karman-fdt-lores-set -r 32 -l 100 \
+        --re $re --seed 0 --thumb --skipsteps 0 -t 500 -d 4 \
+        --initdH karman-fdt-hires-set/sim_00000$i/dens_001000.npz \
+        --initvH karman-fdt-hires-set/sim_00000$i/velo_001000.npz || exit 1
+  done'
+run_stage k_lores_testset k_gen_test -- bash -c '
   rm -rf karman-fdt-lores-testset
-  python -u -m solver_in_the_loop_tpu karman-gen -o karman-fdt-lores-testset -r 32 -l 100 --seed 0 --thumb \
-      --re 240000 480000 960000 1920000 3840000'
+  for i in 0 1 2 3 4; do
+    re=$(( 10000 * (2**(i+3)) * 3 ))
+    python -u -m solver_in_the_loop_tpu karman-gen -o karman-fdt-lores-testset -r 32 -l 100 \
+        --re $re --seed 0 --thumb --skipsteps 0 -t 500 -d 4 \
+        --initdH karman-fdt-hires-testset/sim_00000$i/dens_001000.npz \
+        --initvH karman-fdt-hires-testset/sim_00000$i/velo_001000.npz || exit 1
+  done'
 
 # -------------------------------------------------------------- final bench
 run_stage final_bench -- bash -c '
