@@ -14,6 +14,13 @@ production dispatch.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# ^ running `python scripts/x.py` puts scripts/ (not the repo root) on
+# sys.path — this exact miss produced round 2's broken eval artifact
+
 import time
 
 import jax
