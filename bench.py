@@ -74,14 +74,21 @@ def main() -> None:
         make_optimizer,
     )
 
+    import os
+
     res = 32
     batch = 3
     msteps = 32
     n_sims, n_frames = 6, 64  # synthetic stand-in for the 6-sim training set
 
+    # pressure tolerance: 1e-5 is the campaign default; the measured
+    # sensitivity study (results_full_workload/tol_study.json) shows 500-step
+    # rollout MAE is identical at 1e-3 — override for A/B via SILT_BENCH_PTOL
+    ptol = float(os.environ.get("SILT_BENCH_PTOL", "1e-5"))
+
     dom = karman_domain(res)
     flow = KarmanFlow(dom, advection="shift", max_shift=2,
-                      pressure_tol=1e-5, pressure_max_iter=500)
+                      pressure_tol=ptol, pressure_max_iter=500)
     cfg = SolTrainConfig(msteps=msteps, lr=1e-4, batch_size=batch, remat=True)
     model = build_model("mars_moon")
     norm = Normalization.karman(0.7, 0.12, 1.8e6)
@@ -171,6 +178,7 @@ def main() -> None:
         "hbm_util": round(bytes_accessed / sec_per_iter / V5E_PEAK_HBM, 4)
                     if bytes_accessed else None,
         "hostfeed_transfer_s": round(hostfeed_sec, 6),
+        "pressure_tol": ptol,
         **cg_stats,
     }
     print(json.dumps(out))
