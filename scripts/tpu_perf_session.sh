@@ -53,3 +53,20 @@ timeout 1200 python -u -m solver_in_the_loop_tpu karman-apply -o runs/perf/tol3_
 python -u -m solver_in_the_loop_tpu evaluate --run runs/perf/tol3_train/run_test/sim_000000 \
     --ref karman-fdt-hires-testset/sim_000001 --ref-offset 1000 --scale 4 --steps 499 \
     | tee runs/perf/eval_tol3_trained.json
+
+# baseline arm: the campaign SOL-32 run's epoch-10 checkpoint (trained at the
+# 1e-5 default, same seed/data order) rolled out at ptol 1e-5 — the A/B is
+# 10-epochs@1e-3 vs 10-epochs@1e-5, not vs the fully trained model
+if [ -f karman-fdt-sol32/tf/model_epoch0010.msgpack ]; then
+  echo "=== baseline: campaign epoch-10 checkpoint at ptol 1e-5 ==="
+  timeout 1200 python -u -m solver_in_the_loop_tpu karman-apply -o runs/perf/tol5_ep10/run_test \
+      --stats karman-fdt-sol32/tf/dataStats.json \
+      --model karman-fdt-sol32/tf/model_epoch0010.msgpack \
+      --initdH karman-fdt-hires-testset/sim_000001/dens_001000.npz \
+      --initvH karman-fdt-hires-testset/sim_000001/velo_001000.npz \
+      -d 4 -r 32 -l 100 --re 480000 -t 500 2>&1 | tail -1
+  python -u -m solver_in_the_loop_tpu evaluate --run runs/perf/tol5_ep10/run_test/sim_000000 \
+      --ref karman-fdt-hires-testset/sim_000001 --ref-offset 1000 --scale 4 --steps 499 \
+      | tee runs/perf/eval_tol5_ep10.json
+fi
+cp -f runs/perf/*.json artifacts/ 2>/dev/null; true
