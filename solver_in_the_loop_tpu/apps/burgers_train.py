@@ -47,12 +47,15 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("-l", "--len", type=float, default=32.0)
     p.add_argument("--model", default="mars_moon")
-    p.add_argument("--init", choices=["zero", "reference"], default="zero",
-                   help="output-conv init: 'zero' (stable unroll, default) or "
-                        "'reference' (Keras glorot, pair with --clip-grad)")
+    p.add_argument("--init", choices=["zero", "reference"], default="reference",
+                   help="output-conv init: 'reference' (Keras glorot, the "
+                        "reference's default behavior) or 'zero' (see BENCH.md "
+                        "'Init ablation' — worse rollout MAE on karman)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--adplr", action="store_true")
-    p.add_argument("--clip-grad", action="store_true")
+    p.add_argument("--clip-grad", action=argparse.BooleanOptionalAction, default=True,
+                   help="per-leaf grad-norm clip (reference karman_train.py:453); "
+                        "protects glorot init's large early unrolled gradients")
     p.add_argument("--resume", type=int, default=-1)
     p.add_argument("--inittf", default=None)
     p.add_argument("--pretf", default=None)

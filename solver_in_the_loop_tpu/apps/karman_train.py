@@ -47,16 +47,23 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("-l", "--len", type=float, default=100.0)
     p.add_argument("--model", default="mars_moon")
-    p.add_argument("--init", choices=["zero", "reference"], default="zero",
-                   help="output-conv init: 'zero' (stable unroll, default) or "
-                        "'reference' (Keras glorot, pair with --clip-grad)")
+    p.add_argument("--init", choices=["zero", "reference"], default="reference",
+                   help="output-conv init: 'reference' (Keras glorot, the "
+                        "reference's karman_train.py:101-138 behavior; needs "
+                        "grad clipping, on by default) or 'zero' (stable "
+                        "without clipping but converges to a worse basin — "
+                        "2.3-2.6x higher rollout MAE at 20 epochs; BENCH.md "
+                        "'Init ablation')")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--reg-loss", action="store_true",
                    help="accepted for reference CLI parity; the reference sums "
                         "keras model.losses which is empty for these models "
                         "(karman_train.py:441-443), so this is a no-op")
     p.add_argument("--adplr", action="store_true")
-    p.add_argument("--clip-grad", action="store_true")
+    p.add_argument("--clip-grad", action=argparse.BooleanOptionalAction, default=True,
+                   help="per-leaf grad-norm clip (reference karman_train.py:453); "
+                        "required for --init reference (diverges in 2 epochs "
+                        "without it, BENCH.md 'Init ablation')")
     p.add_argument("--resume", type=int, default=-1)
     p.add_argument("--inittf", default=None, help="warm-start checkpoint (msgpack)")
     p.add_argument("--pretf", default=None, help="supervised pre-trained checkpoint")

@@ -17,20 +17,19 @@ Inputs are normalized collocated features (B, Y, X, C) with C=3 for karman
 All convs run in a configurable compute dtype (bfloat16 on TPU by default for
 the MXU; params stay float32).
 
-Deviation from the reference (deliberate, default): the output conv is
-zero-initialized so an untrained network corrects nothing. With the
-reference's default init an untrained net emits corrections as large as the
-flow itself (|corr| ~ |v|), and the msteps=32 unrolled rollout explodes before
-the first update (the normalized initial loss is ~1e10 and Adam NaNs within
-two iterations on real karman data). Zero output init makes the initial
-unroll exactly the stable pure-solver rollout and lets training grow
-corrections from zero; capacity and all other layers are unchanged.
+Init modes (measured head-to-head in BENCH.md "Init ablation"):
 
-`init="reference"` reproduces the reference exactly — Keras glorot_uniform on
-every conv including the head (Keras Conv2D default,
-/root/reference/karman-2d/karman_train.py:101-138) — for the ablation that
-pairs it with the reference's own blow-up mitigation `--clip-grad`
-(karman_train.py:451-454). See BENCH.md "init ablation".
+* `init="reference"` (trainer-CLI default since round 3) — Keras glorot_uniform on every
+  conv including the head (Keras Conv2D default,
+  /root/reference/karman-2d/karman_train.py:101-138). An untrained net then
+  emits corrections as large as the flow itself, so the msteps=32 unroll
+  explodes unless gradients are clipped — pair with the reference's own
+  mitigation `--clip-grad` (karman_train.py:451-454), on by default in the
+  trainers. 2.3-2.6x lower rollout MAE than zero init at 20 epochs.
+* `init="zero"` — zero output conv: the initial unroll is exactly the stable
+  pure-solver rollout and training grows corrections from zero. Stable
+  without clipping, but converges to a worse basin (the rounds-1-3 campaign
+  default; kept for reproducing those tables).
 """
 
 from __future__ import annotations
@@ -152,7 +151,12 @@ _MODELS = {"mercury": Mercury, "mars_moon": MarsMoon, "jupiter_moon": JupiterMoo
 def build_model(name: str, compute_dtype: Dtype = jnp.float32,
                 init: str = "zero") -> nn.Module:
     """Registry lookup (replaces the reference's `eval('model_%s' % name)`,
-    karman_train.py:394)."""
+    karman_train.py:394).
+
+    Library default stays init="zero" (safe without grad clipping, e.g. for
+    bench/dryrun harnesses); the trainer CLIs default to init="reference"
+    with clipping on — see the module docstring.
+    """
     if name not in _MODELS:
         raise KeyError(f"unknown model '{name}'; available: {sorted(_MODELS)}")
     return _MODELS[name](compute_dtype=compute_dtype, init_mode=init)
