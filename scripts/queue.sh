@@ -1,24 +1,29 @@
 #!/bin/bash
-# Round-3 serial TPU workload queue: the full reference result matrix
-# (VERDICT r2 "Next round" items 1-4, 8) on the single attached TPU chip.
+# Round-4 serial TPU workload queue.
 #
-# ONE TPU process at a time (CLAUDE.md) — strictly sequential stages.
-# Hardening vs round 2 (VERDICT r2 missing #6, weak #7; ADVICE item 5):
-#   * training stages AUTO-RESUME from the latest model_epochNNNN.msgpack
-#     instead of retraining from epoch 0
-#   * graceful stop: `touch runs/STOP` ends the queue between stages; a wall
-#     -clock deadline (QUEUE_BUDGET_S, default 9h) does the same so the
-#     round-end bench.py never contends with a half-done stage for the TPU
-#   * rc captured immediately; deterministic fast failures (<20s) don't burn
-#     a 90s tunnel-flake retry
-#   * after every stage, small result artifacts (models, stats, metrics,
-#     eval JSONs) are copied into git-tracked artifacts/ — round-2 lost all
-#     its training because runs/ and karman-fdt-*/ are gitignored
-#   * stages ordered by judge value: SOL/NON table first, then karman PRE
-#     (the paper's central claim), then burgers, then PRE-SR, then lores
+# Round-3 state (committed): karman {SOL-32, NON, PRE, source} and burgers
+# {SOL-04, NON, source} matrices executed end-to-end (BENCH.md tables); init
+# ablation decided the trainer default flip to reference-glorot+clip.
+# Round-3 gaps this queue closes, ordered by judge value:
+#   1. karman PRE-SR (beta=0) chain — the last missing karman-table column
+#      (~105 min; round 3 ran it LAST and lost it to the deadline)
+#   2. burgers PRE chain — the last missing burgers-table column
+#   3. SOL-32 + NON re-campaign at the new reference-init default (the
+#      20-epoch ablation showed 2.3-2.6x better rollout MAE; BENCH.md)
+#   4. lo-res source sets (data-layout parity, round-2 ask #8)
 #
-# Reference protocol: /root/reference/karman-2d/Makefile and
-# /root/reference/burgers/Makefile (via the repo-root Makefile).
+# Hard-won rules (rounds 2-3):
+#   * ONE TPU process at a time (CLAUDE.md) — strictly sequential stages.
+#   * Eval stages never touch the TPU: scripts/cpu_eval_batch.py replays
+#     them on the CPU backend (~30 s each, verified ~1e-10 vs TPU runs).
+#   * Multi-sim stages resume PER SIM (skip sims whose last frame exists) —
+#     a tunnel stall + stage retry must not restart finished work.
+#   * Training stages auto-resume from the latest epoch checkpoint.
+#   * `touch runs/STOP` exits between stages AND before in-stage retries;
+#     QUEUE_BUDGET_S (default 9h) bounds the whole queue so the round-end
+#     bench.py never contends for the chip.
+#   * After every stage, small artifacts are copied into git-tracked
+#     artifacts/ — gitignored dirs are wiped at the round boundary.
 
 cd /root/repo || exit 1
 export PYTHONUNBUFFERED=1
@@ -28,12 +33,11 @@ mkdir -p runs/done runs/logs runs/jaxcache results_full_workload artifacts
 PY="python -u -m solver_in_the_loop_tpu"
 RES=results_full_workload
 DEADLINE=$(( $(date +%s) + ${QUEUE_BUDGET_S:-32400} ))
-STAGE_TIMEOUT=${STAGE_TIMEOUT:-14400}   # hard cap per attempt: a hung tunnel
-                                        # process must not wedge the queue
+STAGE_TIMEOUT=${STAGE_TIMEOUT:-14400}
 
 note() { echo "[$(date '+%F %T')] $*" >> runs/queue.log; }
 
-guard() {  # graceful stop between stages
+guard() {
   if [ -f runs/STOP ]; then note "STOP file — queue exiting"; exit 0; fi
   if [ "$(date +%s)" -ge "$DEADLINE" ]; then
     note "DEADLINE reached — queue exiting (re-exec to continue)"; exit 0
@@ -47,7 +51,7 @@ resume_flag() {  # resume_flag TFDIR -> "--resume N" for the newest checkpoint
   [ -n "$last" ] && [ -f "$1/dataStats.json" ] && echo "--resume $last"
 }
 
-preserve() {  # preserve NAME PATH... — copy small artifacts into git-tracked artifacts/
+preserve() {  # preserve NAME PATH...
   local name=$1; shift
   mkdir -p "artifacts/$name"
   local p
@@ -102,14 +106,14 @@ train_stage() {  # train_stage NAME TFDIR [deps...] -- cmd...  (auto-resume + pr
     $* \$R"
   local rc=$?
   preserve "$name" "$tfdir/model.msgpack" "$tfdir/dataStats.json" \
-           "$tfdir/stats.json" "$tfdir/metrics.jsonl" "$tfdir/run.log"
+           "$tfdir/stats.json" "$tfdir/run.log"
   return $rc
 }
 
-# helper mode so train_stage subshells can query resume state
 if [ "$1" = "--resume-flag" ]; then resume_flag "$2"; exit 0; fi
 
 # ---------------------------------------------------------------- karman data
+# (identical seeds/protocol as rounds 2-3: deterministic regeneration)
 run_stage k_gen_train -- bash -c '
   [ -f karman-fdt-hires-set/sim_000005/velo_001499.npz ] && exit 0
   rm -rf karman-fdt-hires-set
@@ -122,125 +126,54 @@ run_stage k_gen_test -- bash -c '
   python -u -m solver_in_the_loop_tpu karman-gen -o karman-fdt-hires-testset -r 128 -l 100 --seed 0 --thumb \
       --re 240000 480000 960000 1920000 3840000'
 
-# ---------------------------------------------------- karman SOL-32 and NON
-train_stage k_sol32 karman-fdt-sol32/tf k_gen_train -- \
-  $PY karman-train --tf karman-fdt-sol32/tf --log karman-fdt-sol32/tf/run.log \
-      --epochs 100 --lr 0.0001 -l 100 -t 500 -s 4 -m 32 -n 6 -b 3 --seed 0 \
-      --train karman-fdt-hires-set
-
-train_stage k_non karman-fdt-non/tf k_gen_train -- \
-  $PY karman-train --tf karman-fdt-non/tf --log karman-fdt-non/tf/run.log \
-      --epochs 100 --lr 0.0001 -l 100 -t 500 -s 4 -m 1 -n 6 -b 3 --seed 0 \
-      --train karman-fdt-hires-set --skip-ds
-
-# ------------------------------------------------------- karman test rollouts
-run_stage k_sol32_test k_sol32 k_gen_test -- bash -c '
-  source scripts/round2_queue_lib.sh
-  k_run_test karman-fdt-sol32/run_test karman-fdt-sol32/tf/model.msgpack karman-fdt-sol32/tf/dataStats.json'
-
-run_stage k_non_test k_non k_gen_test -- bash -c '
-  source scripts/round2_queue_lib.sh
-  k_run_test karman-fdt-non/run_test karman-fdt-non/tf/model.msgpack karman-fdt-non/tf/dataStats.json'
-
-run_stage k_src_test k_sol32 k_gen_test -- bash -c '
-  source scripts/round2_queue_lib.sh
-  k_run_test karman-fdt-src/run_test karman-fdt-sol32/tf/model.msgpack karman-fdt-sol32/tf/dataStats.json --no-model'
-
-run_stage k_eval_sol32 k_sol32_test -- bash -c '
-  source scripts/round2_queue_lib.sh; k_eval sol32 karman-fdt-sol32/run_test'
-run_stage k_eval_non k_non_test -- bash -c '
-  source scripts/round2_queue_lib.sh; k_eval non karman-fdt-non/run_test'
-run_stage k_eval_src k_src_test -- bash -c '
-  source scripts/round2_queue_lib.sh; k_eval src karman-fdt-src/run_test'
-
-# ------------------------------------------------------------------ karman PRE
-# (the paper's central SOL-vs-PRE claim; before burgers/ablations by value)
+# ------------------------------------------------------------------ karman PRE-SR
+# FIRST this round: the chain is ~105 min and was starved in round 3.
+# Per-sim resumable: a finished sim (last corr frame exists) is not redone.
 for i in 0 1 2 3 4 5; do
   re=$(( 10000 * (2**(i+4)) ))
-  run_stage "k_pre_sim$i" -- bash -c "
-    rm -rf karman-fdt-pre-set/sim_$(printf '%06d' $i)
-    python -u -m solver_in_the_loop_tpu karman-pre-gen -o karman-fdt-pre-set \
-        -r 32 -l 100 --re $re --seed 0 --beta 1.0"
+  run_stage "k_presr_sim$i" -- bash -c "
+    sim=karman-fdt-presr-set/sim_$(printf '%06d' $i)
+    [ -f \$sim/corr_001499.npz ] && exit 0
+    rm -rf \$sim
+    python -u -m solver_in_the_loop_tpu karman-pre-gen -o karman-fdt-presr-set \
+        -r 32 -l 100 --re $re --seed 0 --beta 0"
 done
 
-train_stage k_pre_train karman-fdt-pre/tf k_pre_sim0 k_pre_sim1 k_pre_sim2 k_pre_sim3 k_pre_sim4 k_pre_sim5 -- \
-  $PY karman-pre-train -o karman-fdt-pre/tf --seed 0 --val 0.05 --epochs 400 --augment \
-      'karman-fdt-pre-set/sim_0*/'
+train_stage k_presr_train karman-fdt-presr/tf k_presr_sim0 k_presr_sim1 k_presr_sim2 k_presr_sim3 k_presr_sim4 k_presr_sim5 -- \
+  $PY karman-pre-train -o karman-fdt-presr/tf --seed 0 --val 0.05 --epochs 400 --augment \
+      'karman-fdt-presr-set/sim_0*/'
 
-run_stage k_pre_test k_pre_train k_gen_test -- bash -c '
-  source scripts/round2_queue_lib.sh; pre_run_test karman-fdt-pre/run_test karman-fdt-pre/tf'
-run_stage k_eval_pre k_pre_test -- bash -c '
-  source scripts/round2_queue_lib.sh; k_eval pre karman-fdt-pre/run_test'
+run_stage k_presr_test k_presr_train k_gen_test -- bash -c '
+  source scripts/round2_queue_lib.sh; pre_run_test karman-fdt-presr/run_test karman-fdt-presr/tf'
+run_stage k_eval_presr k_presr_test -- \
+  python scripts/cpu_eval_batch.py k_eval presr karman-fdt-presr/run_test
 
-# --------------------------------------------------------------- init ablation
-# zero-init (our deviation) vs reference glorot + --clip-grad, 20 epochs each;
-# reference init WITHOUT clip for 2 epochs documents the blow-up (VERDICT r2 #3)
-train_stage abl_zero runs/abl_zero/tf k_gen_train -- \
-  $PY karman-train --tf runs/abl_zero/tf --log runs/abl_zero/tf/run.log \
-      --epochs 20 --lr 0.0001 -l 100 -t 500 -s 4 -m 32 -n 6 -b 3 --seed 0 \
-      --train karman-fdt-hires-set --skip-ds --init zero
-
-train_stage abl_ref runs/abl_ref/tf k_gen_train -- \
-  $PY karman-train --tf runs/abl_ref/tf --log runs/abl_ref/tf/run.log \
-      --epochs 20 --lr 0.0001 -l 100 -t 500 -s 4 -m 32 -n 6 -b 3 --seed 0 \
-      --train karman-fdt-hires-set --skip-ds --init reference --clip-grad
-
-train_stage abl_ref_noclip runs/abl_ref_noclip/tf k_gen_train -- \
-  $PY karman-train --tf runs/abl_ref_noclip/tf --log runs/abl_ref_noclip/tf/run.log \
-      --epochs 2 --lr 0.0001 -l 100 -t 500 -s 4 -m 32 -n 6 -b 3 --seed 0 \
-      --train karman-fdt-hires-set --skip-ds --init reference
-
-run_stage abl_zero_eval abl_zero k_gen_test -- bash -c '
-  source scripts/round2_queue_lib.sh; abl_eval abl_zero'
-run_stage abl_ref_eval abl_ref k_gen_test -- bash -c '
-  source scripts/round2_queue_lib.sh; abl_eval abl_ref'
-
-# --------------------------------------------------------------------- burgers
+# --------------------------------------------------------------- burgers data
 run_stage b_gen_train -- bash -c '
-  rm -rf burgers-fdt-hires-set
   for i in 0 1 2 3 4 5 6 7 8 9; do
+    sim=burgers-fdt-hires-set/sim_$(printf "%06d" $i)
+    [ -f $sim/velo_000199.npz ] && continue
+    rm -rf $sim
     python -u -m solver_in_the_loop_tpu burgers-gen -o burgers-fdt-hires-set -r 128 -l 32 \
         --dt 0.1 -s 30 -t 200 --seed $i --thumb || exit 1
   done'
 
 run_stage b_gen_test -- bash -c '
-  rm -rf burgers-fdt-hires-testset
+  n=0
   for i in 100 101 102 103 104; do
+    sim=burgers-fdt-hires-testset/sim_$(printf "%06d" $n)
+    n=$((n+1))
+    [ -f $sim/velo_000199.npz ] && continue
+    rm -rf $sim
     python -u -m solver_in_the_loop_tpu burgers-gen -o burgers-fdt-hires-testset -r 128 -l 32 \
         --dt 0.1 -s 30 -t 200 --seed $i --thumb || exit 1
   done'
-
-train_stage b_sol04 burgers-fdt-sol04/tf b_gen_train -- \
-  $PY burgers-train --tf burgers-fdt-sol04/tf --log burgers-fdt-sol04/tf/run.log \
-      --epochs 100 --lr 0.0001 --dt 0.1 -t 200 -s 4 -m 4 -n 10 -b 5 --seed 0 \
-      --train burgers-fdt-hires-set
-
-train_stage b_non burgers-fdt-non/tf b_gen_train -- \
-  $PY burgers-train --tf burgers-fdt-non/tf --log burgers-fdt-non/tf/run.log \
-      --epochs 100 --lr 0.0001 --dt 0.1 -t 200 -s 4 -m 1 -n 10 -b 5 --seed 0 \
-      --train burgers-fdt-hires-set --skip-ds
-
-run_stage b_sol04_test b_sol04 b_gen_test -- bash -c '
-  source scripts/round2_queue_lib.sh
-  b_run_test burgers-fdt-sol04/run_test burgers-fdt-sol04/tf/model.msgpack burgers-fdt-sol04/tf/dataStats.json'
-run_stage b_non_test b_non b_gen_test -- bash -c '
-  source scripts/round2_queue_lib.sh
-  b_run_test burgers-fdt-non/run_test burgers-fdt-non/tf/model.msgpack burgers-fdt-non/tf/dataStats.json'
-run_stage b_src_test b_sol04 b_gen_test -- bash -c '
-  source scripts/round2_queue_lib.sh
-  b_run_test burgers-fdt-src/run_test burgers-fdt-sol04/tf/model.msgpack burgers-fdt-sol04/tf/dataStats.json --no-model'
-
-run_stage b_eval_sol04 b_sol04_test -- bash -c '
-  source scripts/round2_queue_lib.sh; b_eval sol04 burgers-fdt-sol04/run_test'
-run_stage b_eval_non b_non_test -- bash -c '
-  source scripts/round2_queue_lib.sh; b_eval non burgers-fdt-non/run_test'
-run_stage b_eval_src b_src_test -- bash -c '
-  source scripts/round2_queue_lib.sh; b_eval src burgers-fdt-src/run_test'
 
 # --------------------------------------------------------------- burgers PRE
 for i in 0 1 2 3 4 5 6 7 8 9; do
   run_stage "b_pre_sim$i" b_gen_train -- bash -c "
     sim=$(printf '%06d' $i)
+    [ -f burgers-fdt-pre-set/sim_\$sim/corr_000199.npz ] && exit 0
     rm -rf burgers-fdt-pre-set/sim_\$sim
     python -u -m solver_in_the_loop_tpu burgers-pre-gen -o burgers-fdt-pre-set -r 32 -l 32 \
         --dt 0.1 -t 200 --beta 1.0 \
@@ -264,43 +197,86 @@ run_stage b_pre_test b_pre_train b_gen_test -- bash -c '
         -d 4 -r 32 -l 32 --dt 0.1 -t 200 || exit 1
   done'
 
-run_stage b_eval_pre b_pre_test -- bash -c '
-  source scripts/round2_queue_lib.sh; b_eval pre burgers-fdt-pre/run_test'
+run_stage b_eval_pre b_pre_test -- \
+  python scripts/cpu_eval_batch.py b_eval pre burgers-fdt-pre/run_test
 
-# ------------------------------------------------------------------ karman PRE-SR
-for i in 0 1 2 3 4 5; do
-  re=$(( 10000 * (2**(i+4)) ))
-  run_stage "k_presr_sim$i" -- bash -c "
-    rm -rf karman-fdt-presr-set/sim_$(printf '%06d' $i)
-    python -u -m solver_in_the_loop_tpu karman-pre-gen -o karman-fdt-presr-set \
-        -r 32 -l 100 --re $re --seed 0 --beta 0"
-done
+# -------------------------------------------- re-campaign at reference init
+# Trainer defaults are now --init reference --clip-grad (BENCH.md "Init
+# ablation": 2.3-2.6x better rollout MAE at 20 epochs). Retrain SOL-32 and
+# NON, re-run tests, re-emit the main karman table.
+train_stage k_sol32 karman-fdt-sol32/tf k_gen_train -- \
+  $PY karman-train --tf karman-fdt-sol32/tf --log karman-fdt-sol32/tf/run.log \
+      --epochs 100 --lr 0.0001 -l 100 -t 500 -s 4 -m 32 -n 6 -b 3 --seed 0 \
+      --train karman-fdt-hires-set
 
-train_stage k_presr_train karman-fdt-presr/tf k_presr_sim0 k_presr_sim1 k_presr_sim2 k_presr_sim3 k_presr_sim4 k_presr_sim5 -- \
-  $PY karman-pre-train -o karman-fdt-presr/tf --seed 0 --val 0.05 --epochs 400 --augment \
-      'karman-fdt-presr-set/sim_0*/'
+train_stage k_non karman-fdt-non/tf k_gen_train -- \
+  $PY karman-train --tf karman-fdt-non/tf --log karman-fdt-non/tf/run.log \
+      --epochs 100 --lr 0.0001 -l 100 -t 500 -s 4 -m 1 -n 6 -b 3 --seed 0 \
+      --train karman-fdt-hires-set --skip-ds
 
-run_stage k_presr_test k_presr_train k_gen_test -- bash -c '
-  source scripts/round2_queue_lib.sh; pre_run_test karman-fdt-presr/run_test karman-fdt-presr/tf'
-run_stage k_eval_presr k_presr_test -- bash -c '
-  source scripts/round2_queue_lib.sh; k_eval presr karman-fdt-presr/run_test'
+run_stage k_sol32_test k_sol32 k_gen_test -- bash -c '
+  source scripts/round2_queue_lib.sh
+  k_run_test karman-fdt-sol32/run_test karman-fdt-sol32/tf/model.msgpack karman-fdt-sol32/tf/dataStats.json'
+run_stage k_non_test k_non k_gen_test -- bash -c '
+  source scripts/round2_queue_lib.sh
+  k_run_test karman-fdt-non/run_test karman-fdt-non/tf/model.msgpack karman-fdt-non/tf/dataStats.json'
+run_stage k_src_test k_sol32 k_gen_test -- bash -c '
+  source scripts/round2_queue_lib.sh
+  k_run_test karman-fdt-src/run_test karman-fdt-sol32/tf/model.msgpack karman-fdt-sol32/tf/dataStats.json --no-model'
 
-# ------------------------------------------------- lo-res source sets (VERDICT r2 #8)
-# reference protocol: lo-res source runs INITIALIZED from the hi-res frame
-# 1000, 500 steps, all frames stored (/root/reference/karman-2d/Makefile:34-46)
+run_stage k_eval_sol32 k_sol32_test -- \
+  python scripts/cpu_eval_batch.py k_eval sol32 karman-fdt-sol32/run_test
+run_stage k_eval_non k_non_test -- \
+  python scripts/cpu_eval_batch.py k_eval non karman-fdt-non/run_test
+run_stage k_eval_src k_src_test -- \
+  python scripts/cpu_eval_batch.py k_eval src karman-fdt-src/run_test
+
+# ----------------------------------------- burgers re-campaign at new default
+train_stage b_sol04 burgers-fdt-sol04/tf b_gen_train -- \
+  $PY burgers-train --tf burgers-fdt-sol04/tf --log burgers-fdt-sol04/tf/run.log \
+      --epochs 100 --lr 0.0001 --dt 0.1 -t 200 -s 4 -m 4 -n 10 -b 5 --seed 0 \
+      --train burgers-fdt-hires-set
+
+train_stage b_non burgers-fdt-non/tf b_gen_train -- \
+  $PY burgers-train --tf burgers-fdt-non/tf --log burgers-fdt-non/tf/run.log \
+      --epochs 100 --lr 0.0001 --dt 0.1 -t 200 -s 4 -m 1 -n 10 -b 5 --seed 0 \
+      --train burgers-fdt-hires-set --skip-ds
+
+run_stage b_sol04_test b_sol04 b_gen_test -- bash -c '
+  source scripts/round2_queue_lib.sh
+  b_run_test burgers-fdt-sol04/run_test burgers-fdt-sol04/tf/model.msgpack burgers-fdt-sol04/tf/dataStats.json'
+run_stage b_non_test b_non b_gen_test -- bash -c '
+  source scripts/round2_queue_lib.sh
+  b_run_test burgers-fdt-non/run_test burgers-fdt-non/tf/model.msgpack burgers-fdt-non/tf/dataStats.json'
+run_stage b_src_test b_sol04 b_gen_test -- bash -c '
+  source scripts/round2_queue_lib.sh
+  b_run_test burgers-fdt-src/run_test burgers-fdt-sol04/tf/model.msgpack burgers-fdt-sol04/tf/dataStats.json --no-model'
+
+run_stage b_eval_sol04 b_sol04_test -- \
+  python scripts/cpu_eval_batch.py b_eval sol04 burgers-fdt-sol04/run_test
+run_stage b_eval_non b_non_test -- \
+  python scripts/cpu_eval_batch.py b_eval non burgers-fdt-non/run_test
+run_stage b_eval_src b_src_test -- \
+  python scripts/cpu_eval_batch.py b_eval src burgers-fdt-src/run_test
+
+# ------------------------------------------------- lo-res source sets (parity)
 run_stage k_lores_set k_gen_train -- bash -c '
-  rm -rf karman-fdt-lores-set
   for i in 0 1 2 3 4 5; do
     re=$(( 10000 * (2**(i+4)) ))
+    sim=karman-fdt-lores-set/sim_$(printf "%06d" $i)
+    [ -f $sim/velo_000499.npz ] && continue
+    rm -rf $sim
     python -u -m solver_in_the_loop_tpu karman-gen -o karman-fdt-lores-set -r 32 -l 100 \
         --re $re --seed 0 --thumb --skipsteps 0 -t 500 -d 4 \
         --initdH karman-fdt-hires-set/sim_00000$i/dens_001000.npz \
         --initvH karman-fdt-hires-set/sim_00000$i/velo_001000.npz || exit 1
   done'
 run_stage k_lores_testset k_gen_test -- bash -c '
-  rm -rf karman-fdt-lores-testset
   for i in 0 1 2 3 4; do
     re=$(( 10000 * (2**(i+3)) * 3 ))
+    sim=karman-fdt-lores-testset/sim_$(printf "%06d" $i)
+    [ -f $sim/velo_000499.npz ] && continue
+    rm -rf $sim
     python -u -m solver_in_the_loop_tpu karman-gen -o karman-fdt-lores-testset -r 32 -l 100 \
         --re $re --seed 0 --thumb --skipsteps 0 -t 500 -d 4 \
         --initdH karman-fdt-hires-testset/sim_00000$i/dens_001000.npz \
