@@ -48,7 +48,9 @@ resume_flag() {  # resume_flag TFDIR -> "--resume N" for the newest checkpoint
   local last
   last=$(ls "$1"/model_epoch*.msgpack 2>/dev/null \
          | sed 's/.*model_epoch0*\([0-9][0-9]*\)\.msgpack/\1/' | sort -n | tail -1)
-  [ -n "$last" ] && [ -f "$1/dataStats.json" ] && echo "--resume $last"
+  if [ -n "$last" ] && { [ -f "$1/dataStats.json" ] || [ -f "$1/stats.json" ]; }; then
+    echo "--resume $last"
+  fi
 }
 
 preserve() {  # preserve NAME PATH...
@@ -59,12 +61,24 @@ preserve() {  # preserve NAME PATH...
   return 0
 }
 
-run_stage() {  # run_stage NAME [deps...] -- cmd...
+run_stage() {  # run_stage NAME [-V verify_glob] [deps...] -- cmd...
+  # -V declares the stage's key output artifact (glob ok). A done-marker is
+  # only honored if the artifact exists (stale hand-touched markers are the
+  # round-3 hazard: VERDICT Weak #2), and rc=0 only counts as DONE if the
+  # artifact was actually produced.
   local name=$1; shift
+  local verify=""
+  if [ "$1" = "-V" ]; then verify=$2; shift 2; fi
   local deps=()
   while [ "$1" != "--" ]; do deps+=("$1"); shift; done
   shift
-  if [ -f "runs/done/$name" ]; then note "SKIP $name (done)"; return 0; fi
+  if [ -f "runs/done/$name" ]; then
+    if [ -z "$verify" ] || compgen -G "$verify" > /dev/null; then
+      note "SKIP $name (done)"; return 0
+    fi
+    note "STALE marker $name (no $verify) — removing marker, rerunning"
+    rm -f "runs/done/$name"
+  fi
   guard
   local d
   for d in "${deps[@]}"; do
@@ -75,6 +89,9 @@ run_stage() {  # run_stage NAME [deps...] -- cmd...
   timeout -k 60 "$STAGE_TIMEOUT" "$@" >> "runs/logs/$name.log" 2>&1
   rc=$?
   if [ $rc -eq 0 ]; then
+    if [ -n "$verify" ] && ! compgen -G "$verify" > /dev/null; then
+      note "FAIL $name (rc=0 but no $verify) — not marking done"; return 1
+    fi
     note "DONE $name ($((SECONDS-t0))s)"; touch "runs/done/$name"; return 0
   fi
   if [ $((SECONDS-t0)) -lt 20 ]; then
@@ -87,6 +104,9 @@ run_stage() {  # run_stage NAME [deps...] -- cmd...
   timeout -k 60 "$STAGE_TIMEOUT" "$@" >> "runs/logs/$name.log" 2>&1
   rc=$?
   if [ $rc -eq 0 ]; then
+    if [ -n "$verify" ] && ! compgen -G "$verify" > /dev/null; then
+      note "FAIL $name (retry rc=0 but no $verify) — not marking done"; return 1
+    fi
     note "DONE $name on retry ($((SECONDS-t0))s)"; touch "runs/done/$name"; return 0
   fi
   note "FAIL $name (rc=$rc) — runs/logs/$name.log"
@@ -98,8 +118,7 @@ train_stage() {  # train_stage NAME TFDIR [deps...] -- cmd...  (auto-resume + pr
   local deps=()
   while [ "$1" != "--" ]; do deps+=("$1"); shift; done
   shift
-  if [ -f "runs/done/$name" ]; then note "SKIP $name (done)"; return 0; fi
-  run_stage "$name" "${deps[@]}" -- bash -c "
+  run_stage "$name" -V "$tfdir/model.msgpack" "${deps[@]}" -- bash -c "
     source scripts/round2_queue_lib.sh
     R=\$(bash scripts/queue.sh --resume-flag '$tfdir')
     [ -n \"\$R\" ] && echo \"[queue] resuming: \$R\"
@@ -114,13 +133,13 @@ if [ "$1" = "--resume-flag" ]; then resume_flag "$2"; exit 0; fi
 
 # ---------------------------------------------------------------- karman data
 # (identical seeds/protocol as rounds 2-3: deterministic regeneration)
-run_stage k_gen_train -- bash -c '
+run_stage k_gen_train -V karman-fdt-hires-set/sim_000005/velo_001499.npz -- bash -c '
   [ -f karman-fdt-hires-set/sim_000005/velo_001499.npz ] && exit 0
   rm -rf karman-fdt-hires-set
   python -u -m solver_in_the_loop_tpu karman-gen -o karman-fdt-hires-set -r 128 -l 100 --seed 0 --thumb \
       --re 160000 320000 640000 1280000 2560000 5120000'
 
-run_stage k_gen_test -- bash -c '
+run_stage k_gen_test -V karman-fdt-hires-testset/sim_000004/velo_001499.npz -- bash -c '
   [ -f karman-fdt-hires-testset/sim_000004/velo_001499.npz ] && exit 0
   rm -rf karman-fdt-hires-testset
   python -u -m solver_in_the_loop_tpu karman-gen -o karman-fdt-hires-testset -r 128 -l 100 --seed 0 --thumb \
@@ -131,7 +150,7 @@ run_stage k_gen_test -- bash -c '
 # Per-sim resumable: a finished sim (last corr frame exists) is not redone.
 for i in 0 1 2 3 4 5; do
   re=$(( 10000 * (2**(i+4)) ))
-  run_stage "k_presr_sim$i" -- bash -c "
+  run_stage "k_presr_sim$i" -V "karman-fdt-presr-set/sim_$(printf '%06d' $i)/corr_001499.npz" -- bash -c "
     sim=karman-fdt-presr-set/sim_$(printf '%06d' $i)
     [ -f \$sim/corr_001499.npz ] && exit 0
     rm -rf \$sim
@@ -143,13 +162,13 @@ train_stage k_presr_train karman-fdt-presr/tf k_presr_sim0 k_presr_sim1 k_presr_
   $PY karman-pre-train -o karman-fdt-presr/tf --seed 0 --val 0.05 --epochs 400 --augment \
       'karman-fdt-presr-set/sim_0*/'
 
-run_stage k_presr_test k_presr_train k_gen_test -- bash -c '
+run_stage k_presr_test -V karman-fdt-presr/run_test/sim_000004/velTf_000499.npz k_presr_train k_gen_test -- bash -c '
   source scripts/round2_queue_lib.sh; pre_run_test karman-fdt-presr/run_test karman-fdt-presr/tf'
-run_stage k_eval_presr k_presr_test -- \
+run_stage k_eval_presr -V results_full_workload/eval100_presr_re3840000.json k_presr_test -- \
   python scripts/cpu_eval_batch.py k_eval presr karman-fdt-presr/run_test
 
 # --------------------------------------------------------------- burgers data
-run_stage b_gen_train -- bash -c '
+run_stage b_gen_train -V burgers-fdt-hires-set/sim_000009/velo_000199.npz -- bash -c '
   for i in 0 1 2 3 4 5 6 7 8 9; do
     sim=burgers-fdt-hires-set/sim_$(printf "%06d" $i)
     [ -f $sim/velo_000199.npz ] && continue
@@ -158,7 +177,7 @@ run_stage b_gen_train -- bash -c '
         --dt 0.1 -s 30 -t 200 --seed $i --thumb || exit 1
   done'
 
-run_stage b_gen_test -- bash -c '
+run_stage b_gen_test -V burgers-fdt-hires-testset/sim_000004/velo_000199.npz -- bash -c '
   n=0
   for i in 100 101 102 103 104; do
     sim=burgers-fdt-hires-testset/sim_$(printf "%06d" $n)
@@ -171,7 +190,7 @@ run_stage b_gen_test -- bash -c '
 
 # --------------------------------------------------------------- burgers PRE
 for i in 0 1 2 3 4 5 6 7 8 9; do
-  run_stage "b_pre_sim$i" b_gen_train -- bash -c "
+  run_stage "b_pre_sim$i" -V "burgers-fdt-pre-set/sim_$(printf '%06d' $i)/corr_000199.npz" b_gen_train -- bash -c "
     sim=$(printf '%06d' $i)
     [ -f burgers-fdt-pre-set/sim_\$sim/corr_000199.npz ] && exit 0
     rm -rf burgers-fdt-pre-set/sim_\$sim
@@ -185,7 +204,7 @@ train_stage b_pre_train burgers-fdt-pre/tf b_pre_sim0 b_pre_sim1 b_pre_sim2 b_pr
   $PY burgers-pre-train -o burgers-fdt-pre/tf --seed 0 --val 0.05 --epochs 400 --augment \
       'burgers-fdt-pre-set/sim_0*/'
 
-run_stage b_pre_test b_pre_train b_gen_test -- bash -c '
+run_stage b_pre_test -V burgers-fdt-pre/run_test/sim_000004/velTf_000199.npz b_pre_train b_gen_test -- bash -c '
   source scripts/round2_queue_lib.sh
   rm -rf burgers-fdt-pre/run_test
   for i in 0 1 2 3 4; do
@@ -197,7 +216,7 @@ run_stage b_pre_test b_pre_train b_gen_test -- bash -c '
         -d 4 -r 32 -l 32 --dt 0.1 -t 200 || exit 1
   done'
 
-run_stage b_eval_pre b_pre_test -- \
+run_stage b_eval_pre -V results_full_workload/eval_burgers_pre_seed104.json b_pre_test -- \
   python scripts/cpu_eval_batch.py b_eval pre burgers-fdt-pre/run_test
 
 # -------------------------------------------- re-campaign at reference init
@@ -214,21 +233,21 @@ train_stage k_non karman-fdt-non/tf k_gen_train -- \
       --epochs 100 --lr 0.0001 -l 100 -t 500 -s 4 -m 1 -n 6 -b 3 --seed 0 \
       --train karman-fdt-hires-set --skip-ds
 
-run_stage k_sol32_test k_sol32 k_gen_test -- bash -c '
+run_stage k_sol32_test -V karman-fdt-sol32/run_test/sim_000004/velTf_000499.npz k_sol32 k_gen_test -- bash -c '
   source scripts/round2_queue_lib.sh
   k_run_test karman-fdt-sol32/run_test karman-fdt-sol32/tf/model.msgpack karman-fdt-sol32/tf/dataStats.json'
-run_stage k_non_test k_non k_gen_test -- bash -c '
+run_stage k_non_test -V karman-fdt-non/run_test/sim_000004/velTf_000499.npz k_non k_gen_test -- bash -c '
   source scripts/round2_queue_lib.sh
   k_run_test karman-fdt-non/run_test karman-fdt-non/tf/model.msgpack karman-fdt-non/tf/dataStats.json'
-run_stage k_src_test k_sol32 k_gen_test -- bash -c '
+run_stage k_src_test -V karman-fdt-src/run_test/sim_000004/velTf_000499.npz k_sol32 k_gen_test -- bash -c '
   source scripts/round2_queue_lib.sh
   k_run_test karman-fdt-src/run_test karman-fdt-sol32/tf/model.msgpack karman-fdt-sol32/tf/dataStats.json --no-model'
 
-run_stage k_eval_sol32 k_sol32_test -- \
+run_stage k_eval_sol32 -V results_full_workload/eval100_sol32_re3840000.json k_sol32_test -- \
   python scripts/cpu_eval_batch.py k_eval sol32 karman-fdt-sol32/run_test
-run_stage k_eval_non k_non_test -- \
+run_stage k_eval_non -V results_full_workload/eval100_non_re3840000.json k_non_test -- \
   python scripts/cpu_eval_batch.py k_eval non karman-fdt-non/run_test
-run_stage k_eval_src k_src_test -- \
+run_stage k_eval_src -V results_full_workload/eval100_src_re3840000.json k_src_test -- \
   python scripts/cpu_eval_batch.py k_eval src karman-fdt-src/run_test
 
 # ----------------------------------------- burgers re-campaign at new default
@@ -242,25 +261,40 @@ train_stage b_non burgers-fdt-non/tf b_gen_train -- \
       --epochs 100 --lr 0.0001 --dt 0.1 -t 200 -s 4 -m 1 -n 10 -b 5 --seed 0 \
       --train burgers-fdt-hires-set --skip-ds
 
-run_stage b_sol04_test b_sol04 b_gen_test -- bash -c '
+run_stage b_sol04_test -V burgers-fdt-sol04/run_test/sim_000004/velTf_000199.npz b_sol04 b_gen_test -- bash -c '
   source scripts/round2_queue_lib.sh
   b_run_test burgers-fdt-sol04/run_test burgers-fdt-sol04/tf/model.msgpack burgers-fdt-sol04/tf/dataStats.json'
-run_stage b_non_test b_non b_gen_test -- bash -c '
+run_stage b_non_test -V burgers-fdt-non/run_test/sim_000004/velTf_000199.npz b_non b_gen_test -- bash -c '
   source scripts/round2_queue_lib.sh
   b_run_test burgers-fdt-non/run_test burgers-fdt-non/tf/model.msgpack burgers-fdt-non/tf/dataStats.json'
-run_stage b_src_test b_sol04 b_gen_test -- bash -c '
+run_stage b_src_test -V burgers-fdt-src/run_test/sim_000004/velTf_000199.npz b_sol04 b_gen_test -- bash -c '
   source scripts/round2_queue_lib.sh
   b_run_test burgers-fdt-src/run_test burgers-fdt-sol04/tf/model.msgpack burgers-fdt-sol04/tf/dataStats.json --no-model'
 
-run_stage b_eval_sol04 b_sol04_test -- \
+run_stage b_eval_sol04 -V results_full_workload/eval_burgers_sol04_seed104.json b_sol04_test -- \
   python scripts/cpu_eval_batch.py b_eval sol04 burgers-fdt-sol04/run_test
-run_stage b_eval_non b_non_test -- \
+run_stage b_eval_non -V results_full_workload/eval_burgers_non_seed104.json b_non_test -- \
   python scripts/cpu_eval_batch.py b_eval non burgers-fdt-non/run_test
-run_stage b_eval_src b_src_test -- \
+run_stage b_eval_src -V results_full_workload/eval_burgers_src_seed104.json b_src_test -- \
   python scripts/cpu_eval_batch.py b_eval src burgers-fdt-src/run_test
 
+# ---------------------------------------------------------- karman SOL-08
+# tf2 Makefile variant (/root/reference/karman-2d-tf2/Makefile:56-58):
+# msteps=8, otherwise identical to SOL-32. ~1/4 of SOL-32's step cost.
+train_stage k_sol08 karman-fdt-sol08/tf k_gen_train -- \
+  $PY karman-train --tf karman-fdt-sol08/tf --log karman-fdt-sol08/tf/run.log \
+      --epochs 100 --lr 0.0001 -l 100 -t 500 -s 4 -m 8 -n 6 -b 3 --seed 0 \
+      --train karman-fdt-hires-set
+
+run_stage k_sol08_test -V karman-fdt-sol08/run_test/sim_000004/velTf_000499.npz k_sol08 k_gen_test -- bash -c '
+  source scripts/round2_queue_lib.sh
+  k_run_test karman-fdt-sol08/run_test karman-fdt-sol08/tf/model.msgpack karman-fdt-sol08/tf/dataStats.json'
+
+run_stage k_eval_sol08 -V results_full_workload/eval100_sol08_re3840000.json k_sol08_test -- \
+  python scripts/cpu_eval_batch.py k_eval sol08 karman-fdt-sol08/run_test
+
 # ------------------------------------------------- lo-res source sets (parity)
-run_stage k_lores_set k_gen_train -- bash -c '
+run_stage k_lores_set -V karman-fdt-lores-set/sim_000005/velo_000499.npz k_gen_train -- bash -c '
   for i in 0 1 2 3 4 5; do
     re=$(( 10000 * (2**(i+4)) ))
     sim=karman-fdt-lores-set/sim_$(printf "%06d" $i)
@@ -271,7 +305,7 @@ run_stage k_lores_set k_gen_train -- bash -c '
         --initdH karman-fdt-hires-set/sim_00000$i/dens_001000.npz \
         --initvH karman-fdt-hires-set/sim_00000$i/velo_001000.npz || exit 1
   done'
-run_stage k_lores_testset k_gen_test -- bash -c '
+run_stage k_lores_testset -V karman-fdt-lores-testset/sim_000004/velo_000499.npz k_gen_test -- bash -c '
   for i in 0 1 2 3 4; do
     re=$(( 10000 * (2**(i+3)) * 3 ))
     sim=karman-fdt-lores-testset/sim_$(printf "%06d" $i)
@@ -284,7 +318,7 @@ run_stage k_lores_testset k_gen_test -- bash -c '
   done'
 
 # -------------------------------------------------------------- final bench
-run_stage final_bench -- bash -c '
+run_stage final_bench -V runs/bench_queue.json -- bash -c '
   python bench.py | tee runs/bench_queue.json
   cp -f runs/bench_queue.json artifacts/ 2>/dev/null; true'
 

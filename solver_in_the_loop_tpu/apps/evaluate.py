@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import sys
 
 import jax.numpy as jnp
 import numpy as np
@@ -49,6 +50,13 @@ def run(args):
     n_contig = 0
     while (n_contig + 1) in have:
         n_contig += 1
+    if n_contig <= 0:
+        # An empty scene or one whose frames don't start at 1 (e.g. gen output
+        # with skipsteps) must fail loudly — a silent 0-step eval would be
+        # captured as a "result" by batch drivers (ADVICE r3 item 1).
+        log.error("no contiguous rollout frames starting at 1 in %s (have: %s)",
+                  args.run, sorted(have)[:5])
+        sys.exit(2)
     if args.steps > n_contig:
         log.warning("only %d contiguous rollout frames available; clamping --steps %d",
                     n_contig, args.steps)

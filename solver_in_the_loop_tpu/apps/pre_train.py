@@ -54,6 +54,9 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
                    help="standardize subtracting the nonzero-masked channel mean "
                         "instead of zero-centered (karman_train_pre.py:220-221)")
     p.add_argument("--nostats", action="store_true", help="skip histogram PDF plots")
+    p.add_argument("--resume", type=int, default=-1,
+                   help="resume from model_epochNNNN.msgpack, replaying the "
+                        "data/lr schedule of the skipped epochs")
     p.add_argument("tdata", nargs="+", help="PRE scene dirs (sim_*)")
     return p
 
@@ -79,6 +82,16 @@ def write_histogram_stats(opath: str, named_arrays) -> None:
                 plt.savefig(pdf, format="pdf")
                 plt.savefig(os.path.join(png_dir, f"{name}_{c}.png"))
                 plt.close("all")
+
+
+def _epoch_path_keep(opath: str, cur_epoch: int):
+    """Path of the now-superseded previous per-epoch checkpoint, or None if it
+    should be kept (every 50th epoch stays as a durable snapshot)."""
+    prev_ep = cur_epoch - 1
+    if prev_ep <= 0 or prev_ep % 50 == 0:
+        return None
+    p = os.path.join(opath, f"model_epoch{prev_ep:04d}.msgpack")
+    return p if os.path.exists(p) else None
 
 
 def pre_lr_schedule(epoch: int, current_lr: float) -> float:
@@ -248,7 +261,28 @@ def run(args, scenario: str = "karman"):
     current_lr = args.lr
     rng = np.random.RandomState(args.seed)
     gstep = 0
-    for epoch in range(args.epochs):
+    start_epoch = max(args.resume, 0)
+    if start_epoch > 0:
+        # Restore weights+opt and deterministically replay the skipped epochs'
+        # RNG/lr schedule so a resumed run is bit-identical to an uninterrupted
+        # one (same guarantee as karman-train --resume, karman_train.py:358-359).
+        params, opt_state = ckpt.load_epoch_checkpoint(
+            args.opath, start_epoch, params, opt_state)
+        log.info("resumed from epoch %d", start_epoch)
+        for epoch in range(start_epoch):
+            current_lr = pre_lr_schedule(epoch, current_lr)
+            epoch_perm = rng.permutation(n)
+            pos = 0
+            for _ in range(steps):
+                if pos + args.batch_size > n:
+                    epoch_perm = rng.permutation(n)
+                    pos = 0
+                sel_len = len(epoch_perm[pos:pos + args.batch_size])
+                pos += args.batch_size
+                if args.augment:
+                    rng.rand(sel_len)
+                gstep += 1
+    for epoch in range(start_epoch, args.epochs):
         current_lr = pre_lr_schedule(epoch, current_lr)
         from solver_in_the_loop_tpu.train.trainer import set_learning_rate
 
@@ -277,7 +311,12 @@ def run(args, scenario: str = "karman"):
         writer.scalar("lr", current_lr, gstep)
         if epoch % 10 == 0 or epoch == args.epochs - 1:
             log.info("epoch %03d loss=%.6f val=%.6f lr=%.1e", epoch + 1, ep_loss, val, current_lr)
-        ckpt.save_checkpoint(args.opath, params, opt_state, epoch=epoch + 1) if epoch % 50 == 49 else None
+        # Per-epoch snapshot (reference ModelCheckpoint saves every epoch,
+        # karman_train_pre.py:390) so a tunnel stall costs at most one epoch.
+        ckpt.save_checkpoint(args.opath, params, opt_state, epoch=epoch + 1)
+        prev = _epoch_path_keep(args.opath, epoch + 1)
+        if prev:
+            os.remove(prev)
     ckpt.save_checkpoint(args.opath, params)
     writer.close()
     return params, stats

@@ -11,6 +11,8 @@ VMEM; falls back to the pure-XLA CG otherwise.
 
 from __future__ import annotations
 
+import os
+
 import jax
 
 _VMEM_BUDGET_BYTES = 8 * 1024 * 1024  # leave headroom in ~16MB VMEM
@@ -28,14 +30,21 @@ def pallas_cg_available(shape, periodic: bool) -> bool:
     return b * per_buf * _NUM_CG_BUFFERS < _VMEM_BUDGET_BYTES
 
 
-import os
-
 # The batched single-instance kernel cuts the sequential CG chain ~Bx on the
 # single-TensorCore chip (see cg_kernel.fused_cg_solve). It is interpret-mode
 # verified; production dispatch is gated on a real-hardware Mosaic compile
 # check (scripts/validate_batched_cg.py, run when the TPU is free) because a
 # mid-queue compile failure would sink the round's workload runs.
-_BATCHED = os.environ.get("SILT_PALLAS_BATCHED", "0") == "1"
+def _batched_enabled() -> bool:
+    """Read at call time so drivers that import early can still toggle it
+    (ADVICE r3 item 2); also honors the hardware-validation marker dropped by
+    scripts/validate_batched_cg.py."""
+    v = os.environ.get("SILT_PALLAS_BATCHED")
+    if v is not None:
+        return v == "1"
+    return os.path.exists(
+        os.path.join(os.path.dirname(__file__), "..", "..", "..",
+                     "artifacts", "perf", "batched_cg_ok"))
 
 
 def pallas_cg_solve(b, masks, tol: float, max_iter: int, x0=None):
@@ -43,4 +52,5 @@ def pallas_cg_solve(b, masks, tol: float, max_iter: int, x0=None):
     from solver_in_the_loop_tpu.ops.pallas.cg_kernel import fused_cg_solve
 
     return fused_cg_solve(b, masks.fluid, masks.face_u, masks.face_v,
-                          tol=tol, max_iter=max_iter, x0=x0, batched=_BATCHED)
+                          tol=tol, max_iter=max_iter, x0=x0,
+                          batched=_batched_enabled())

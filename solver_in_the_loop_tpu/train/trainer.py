@@ -323,6 +323,7 @@ def run_training(
         # iterations keeps the dispatch pipeline full (a per-iteration
         # float(loss) costs ~2x throughput on the tunnel-attached TPU)
         epoch_losses = []
+        epoch_step_losses = []  # (msteps,) per iteration, stays on device
         t_epoch = time.perf_counter()
         for it in range(idx_epoch.shape[0]):
             idx_np = idx_epoch[it]
@@ -339,6 +340,7 @@ def run_training(
             params, opt_state, loss, step_losses = train_step(
                 params, opt_state, data, norm, idx, wgt)
             epoch_losses.append(loss)
+            epoch_step_losses.append(step_losses)
             if it % cfg.log_every == 0:
                 log.info(
                     "epoch %03d/%03d it %04d/%04d loss=%.6f lr=%.2e",
@@ -348,11 +350,17 @@ def run_training(
         iter_times.append((time.perf_counter() - t_epoch) / len(epoch_losses))
         # ONE device->host transfer for the epoch's losses (per-scalar float()
         # costs a tunnel roundtrip each on the remote-attached TPU)
-        for loss_f in np.asarray(jnp.stack(epoch_losses)).tolist():
+        step_losses_np = np.asarray(jnp.stack(epoch_step_losses))  # (iters, msteps)
+        for it, loss_f in enumerate(np.asarray(jnp.stack(epoch_losses)).tolist()):
             losses.append(loss_f)
             if metrics_writer is not None:
                 metrics_writer.scalar("loss", loss_f, global_step)
                 metrics_writer.scalar("lr", current_lr, global_step)
+                if it % cfg.log_every == 0:
+                    # per-unrolled-step loss scalars (reference logs each of
+                    # the msteps losses, karman_train.py:437-438)
+                    for s, sl in enumerate(step_losses_np[it].tolist()):
+                        metrics_writer.scalar(f"loss_step_{s:02d}", sl, global_step)
             global_step += 1
         if on_epoch_end is not None:
             on_epoch_end(epoch, params, opt_state)

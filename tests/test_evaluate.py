@@ -36,3 +36,23 @@ def test_evaluate_matches_manual_mae(tmp_path, capsys):
     # prints one JSON line
     line = capsys.readouterr().out.strip().splitlines()[-1]
     assert json.loads(line)["steps"] == n_steps
+
+
+def test_evaluate_errors_on_no_contiguous_frames(tmp_path):
+    """A scene with no frame 1 (empty, or first frame id > 1) must exit loudly
+    instead of producing an empty 0-step eval (ADVICE r3 item 1)."""
+    import pytest
+
+    run_sc = Scene(str(tmp_path / "run" / "sim_000000"))
+    ref_sc = Scene(str(tmp_path / "ref" / "sim_000000"))
+    # frames start at 5, not 1 -> no contiguous prefix from 1
+    u = np.zeros((1, 8, 9), np.float32)
+    v = np.zeros((1, 9, 8), np.float32)
+    run_sc.write_staggered("velTf", 5, u, v)
+    ref_sc.write_staggered("velo", 105, u, v)
+    args = evaluate.build_parser().parse_args([
+        "--run", run_sc.path, "--ref", ref_sc.path,
+        "--ref-offset", "100", "--scale", "2", "--steps", "3",
+    ])
+    with pytest.raises(SystemExit):
+        evaluate.run(args)
