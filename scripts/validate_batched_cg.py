@@ -4,12 +4,12 @@ Run ONLY when the TPU is free (one process at a time — CLAUDE.md):
 
     python scripts/validate_batched_cg.py
 
-Checks Mosaic compiles the single-instance batched kernel
-(ops/pallas/cg_kernel._cg_kernel_batched) at the karman training shapes,
+Checks Mosaic compiles the 2-D batch-folded single-instance kernel
+(ops/pallas/cg_kernel._cg_kernel_folded) at the karman training shapes,
 compares its solution against the per-element grid kernel and the XLA CG,
-and times both variants. If this passes, flip SILT_PALLAS_BATCHED=1 (or the
-_BATCHED default in ops/pallas/cg.py) to make the batched kernel the
-production dispatch.
+and times both variants. On PASS it drops the artifacts/perf/batched_cg_ok
+marker, which ops/pallas/cg.py reads at dispatch time to enable the batched
+kernel in production (override either way with SILT_PALLAS_BATCHED=0/1).
 """
 
 from __future__ import annotations
@@ -67,7 +67,18 @@ def main() -> None:
     assert results[True][0] < 1e-3, results
     speedup = results[False][1] / results[True][1]
     print(f"batched kernel speedup at batch 3: {speedup:.2f}x")
-    print("PASS — safe to enable batched dispatch (ops/pallas/cg.py _BATCHED)")
+    if speedup < 1.05:
+        print("NO-GO — numerically correct but not faster than the grid "
+              "kernel; leaving batched dispatch disabled")
+        return
+    marker = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "artifacts", "perf", "batched_cg_ok")
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(f"err={results[True][0]:.3e} ms={results[True][1]*1e3:.3f} "
+                f"speedup={speedup:.2f}x\n")
+    print(f"PASS — wrote {marker}; batched dispatch now enabled "
+          "(ops/pallas/cg.py _batched_enabled)")
 
 
 if __name__ == "__main__":

@@ -36,40 +36,52 @@ def _neighbor_shifts(p: jnp.ndarray):
     return p_e, p_w, p_n, p_s
 
 
-def _neighbor_shifts_b(p: jnp.ndarray):
-    """Batched (E, W, N, S) with zero ghosts; p is (B, H, W), shifts act on
-    the spatial (last two) axes."""
-    b, h, w = p.shape
-    col = lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
-    row = lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
-    p_e = pltpu.roll(p, shift=w - 1, axis=2) * (col < w - 1)
-    p_w = pltpu.roll(p, shift=1, axis=2) * (col > 0)
-    p_n = pltpu.roll(p, shift=h - 1, axis=1) * (row < h - 1)
-    p_s = pltpu.roll(p, shift=1, axis=1) * (row > 0)
-    return p_e, p_w, p_n, p_s
+def _cg_kernel_folded(b_ref, x0_ref, fluid_ref, me_ref, mw_ref, mn_ref, ms_ref,
+                      diag_ref, m_ref, x_ref, *, tol: float, max_iter: int):
+    """Whole-batch CG in ONE kernel instance, 2-D batch-folded formulation.
 
+    The batch is folded into the LANE axis: every array is (H, B*W), batch
+    block j occupying lanes [j*W, (j+1)*W). At the karman training shapes
+    (64, 3*32=96) the whole batch still fits one 128-lane vector tile, so a
+    per-iteration vector op costs the SAME as for a single batch element —
+    the per-element grid kernel at batch B pays B sequential CG chains, each
+    wasting (128-W) lanes of every op. (The first redesign folded the batch
+    into the SUBLANE axis; measured on v5e that triples the per-op tile count
+    and is 0.88x — lane folding is the one that wins.)
 
-def _cg_kernel_batched(b_ref, x0_ref, fluid_ref, me_ref, mw_ref, mn_ref, ms_ref,
-                       diag_ref, x_ref, *, tol: float, max_iter: int):
-    """Whole-batch CG in ONE kernel instance: per-batch alpha/beta via
-    keepdims reductions. On a single-TensorCore TPU a grid over the batch
-    runs SEQUENTIALLY, tripling the dependent-iteration chain at batch 3;
-    batching the elementwise work instead leaves the chain length at the
-    slowest element's iteration count."""
+    The ghost-cell zero masks are pre-multiplied into the me/mw/mn/ms face
+    masks by the caller, so E/W roll wraparound across lane-block boundaries
+    is annihilated without any in-kernel iota; N/S rolls act on rows and
+    cannot cross blocks. Per-batch reductions: sublane-sum to (1, B*W), then
+    one (B*W, B*W) block-diagonal ones matmul both segment-sums each block
+    AND broadcasts the result back to its lanes. Only ops the
+    hardware-validated per-element kernel already uses appear — the 3-D
+    formulation tripped a Mosaic layout check (layout.h:320, round 3).
+
+    On a single-TensorCore chip a grid over the batch runs SEQUENTIALLY,
+    multiplying the dependent-iteration chain by B; folding keeps the chain at
+    the slowest element's iteration count."""
     b = b_ref[...]
     x0 = x0_ref[...]
-    fluid = fluid_ref[...]          # (1, H, W), broadcasts over the batch
+    fluid = fluid_ref[...]
     me, mw, mn, ms = me_ref[...], mw_ref[...], mn_ref[...], ms_ref[...]
     diag = diag_ref[...]
+    m = m_ref[...]
     solid = 1.0 - fluid
+    h, _bw = b.shape
 
     def apply_a(p):
-        p_e, p_w, p_n, p_s = _neighbor_shifts_b(p)
+        # masks already include the Dirichlet-0 ghost zeros at block edges
+        p_e = pltpu.roll(p, shift=_bw - 1, axis=1)
+        p_w = pltpu.roll(p, shift=1, axis=1)
+        p_n = pltpu.roll(p, shift=h - 1, axis=0)
+        p_s = pltpu.roll(p, shift=1, axis=0)
         lap = me * p_e + mw * p_w + mn * p_n + ms * p_s - diag * p
         return fluid * (-lap) + solid * p
 
-    def dot(a, c):  # (B, H, W) -> (B, 1, 1)
-        return jnp.sum(a * c, axis=(1, 2), keepdims=True)
+    def dot(a, c):  # (H, B*W) -> (1, B*W): per-block sums, broadcast to lanes
+        cols = jnp.sum(a * c, axis=0, keepdims=True)
+        return jnp.dot(cols, m, preferred_element_type=jnp.float32)
 
     bb = dot(b, b)
     thresh = (tol * tol) * jnp.maximum(bb, 1e-30)
@@ -160,14 +172,31 @@ def fused_cg_solve(b, fluid, face_u, face_v, tol: float = 1e-5, max_iter: int = 
     diag = me + mw + mn + ms
 
     if batched:
+        # 2-D lane-folded single-instance kernel: (B, H, W) -> (H, B*W) with
+        # the roll ghost masks pre-multiplied into the face masks, and a
+        # constant block-diagonal ones matrix for per-batch reductions.
+        col = jnp.arange(bsz * w)
+        row = jnp.arange(h)
+        e_mask = ((col % w) < w - 1).astype(b.dtype)[None, :]    # kill E cross-block
+        w_mask = ((col % w) > 0).astype(b.dtype)[None, :]        # kill W cross-block
+        n_mask = (row < h - 1).astype(b.dtype)[:, None]          # kill N wrap
+        s_mask = (row > 0).astype(b.dtype)[:, None]              # kill S wrap
+        tile = lambda a: jnp.tile(a[0], (1, bsz))
+        fold = lambda a: jnp.transpose(a, (1, 0, 2)).reshape(h, bsz * w)
+        me_f = tile(me) * e_mask
+        mw_f = tile(mw) * w_mask
+        mn_f = tile(mn) * n_mask
+        ms_f = tile(ms) * s_mask
+        seg = jnp.kron(jnp.eye(bsz, dtype=b.dtype), jnp.ones((w, w), b.dtype))
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            functools.partial(_cg_kernel_batched, tol=tol, max_iter=max_iter),
-            out_shape=jax.ShapeDtypeStruct(b.shape, b.dtype),
-            in_specs=[full] * 8,
+        x = pl.pallas_call(
+            functools.partial(_cg_kernel_folded, tol=tol, max_iter=max_iter),
+            out_shape=jax.ShapeDtypeStruct((h, bsz * w), b.dtype),
+            in_specs=[full] * 9,
             out_specs=full,
             interpret=interpret,
-        )(b, x0, fluid, me, mw, mn, ms, diag)
+        )(fold(b), fold(x0), tile(fluid), me_f, mw_f, mn_f, ms_f, tile(diag), seg)
+        return jnp.transpose(x.reshape(h, bsz, w), (1, 0, 2))
 
     block = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     shared = pl.BlockSpec((1, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)

