@@ -37,7 +37,11 @@ V5E_PEAK_HBM = 819e9      # bytes/s
 R1_REFERENCE_EST = 1.35   # round-1 hand estimate, kept for cross-round continuity
 
 
-def derived_reference_floor(msteps: int = 32) -> float:
+LAUNCH_US_BAND = (2.5, 5.0, 10.0)  # per-kernel-launch cost band (optimistic /
+                                   # central / pessimistic for a 2020-era GPU)
+
+
+def derived_reference_floor(msteps: int = 32, launch_us: float = 5.0) -> float:
     """Kernel-launch-bound floor (seconds/iter) for the TF1+PhiFlow reference.
 
     Op counts from the reference call graph (/root/reference/karman-2d/
@@ -47,11 +51,65 @@ def derived_reference_floor(msteps: int = 32) -> float:
                       backtrace+gather, inflow, divergence, grad-subtract)
       pressure CG     ~100 iterations x ~10 launches
       backward        ~2x forward (VJPs + adjoint CG)
-    at ~5e-6 s per kernel launch (2020-era single GPU, submission-bound).
+    at ~launch_us us per kernel launch (central 5 us: 2020-era single GPU,
+    submission-bound; `measured_launch_counts` cross-checks the op counts
+    against OUR traced graph, and LAUNCH_US_BAND gives the sensitivity band —
+    VERDICT r3 #4a).
     """
     ops_fwd = 60 + 100 * 10
     ops_per_step = ops_fwd * 3  # fwd + ~2x bwd
-    return msteps * ops_per_step * 5e-6
+    return msteps * ops_per_step * launch_us * 1e-6
+
+
+def _count_eqns(jaxpr):
+    """(static_ops, [per-iteration while-body op counts]) for a jaxpr,
+    descending into nested closed jaxprs (pjit, custom_vjp, scan bodies count
+    once — the only trip-counted loop in the step is the CG while_loop)."""
+    free = {"broadcast_in_dim", "reshape", "squeeze", "convert_element_type",
+            "stop_gradient", "copy", "transpose"}  # metadata-only: no TF1 kernel launch
+    n = 0
+    while_bodies = []
+    for eq in jaxpr.eqns:
+        if eq.primitive.name in free:
+            continue
+        if eq.primitive.name == "while":
+            b, wb = _count_eqns(eq.params["body_jaxpr"].jaxpr)
+            c, _ = _count_eqns(eq.params["cond_jaxpr"].jaxpr)
+            while_bodies.append(b + c)
+            while_bodies += wb
+            continue
+        n += 1
+        subs = []
+        for v in eq.params.values():
+            if hasattr(v, "jaxpr"):
+                subs.append(v.jaxpr)
+            elif isinstance(v, (list, tuple)):
+                subs += [s.jaxpr for s in v if hasattr(s, "jaxpr")]
+        for sub in subs:
+            b, wb = _count_eqns(sub)
+            n += b
+            while_bodies += wb
+        if subs:
+            n -= 1  # the wrapper eqn itself shouldn't double-count
+    return n, while_bodies
+
+
+def measured_launch_counts(flow, dom, batch):
+    """Measured cross-check of the analytic launch-count model: count the
+    primitives in OUR traced solver step (the reference's TF1 graph executes
+    an equivalent computation op by op, ~one kernel launch per primitive).
+    Returns (static_ops_per_step, cg_body_ops_per_iteration)."""
+    from solver_in_the_loop_tpu.core.grids import CenteredGrid, StaggeredGrid
+    from solver_in_the_loop_tpu.physics.karman import initial_state
+
+    d0, v0 = initial_state(dom, batch)
+    re = jnp.full((batch,), 1.6e5, jnp.float32)
+    jaxpr = jax.make_jaxpr(
+        lambda d, u, v, r: flow.step(CenteredGrid(d, dom),
+                                     StaggeredGrid(u, v, dom), r)
+    )(d0.values, v0.u, v0.v, re).jaxpr
+    static, bodies = _count_eqns(jaxpr)
+    return static, (max(bodies) if bodies else 0)
 
 
 def _cost_analysis(compiled):
@@ -150,6 +208,10 @@ def main() -> None:
                 div, flow.masks, tol=1e-5, max_iter=500, x0=p_prev)))
         d_r, v_r, p_prev = flow.step(d_r, v_r, re_r, dt=1.0, p0=p_prev)
     cg_stats = {
+        # iteration percentiles are measured on the XLA CG path (the fused
+        # Pallas kernel exits per-element and exposes no counter; solutions
+        # agree to tol so counts are representative) — ADVICE r3 item 4
+        "cg_iter_stats_path": "xla",
         "cg_iters_cold_p50": float(np.percentile(it_cold, 50)),
         "cg_iters_cold_p95": float(np.percentile(it_cold, 95)),
         "cg_iters_warm_p50": float(np.percentile(it_warm, 50)),
@@ -165,6 +227,19 @@ def main() -> None:
         jax.block_until_ready(jax.device_put(win))
     hostfeed_sec = (time.perf_counter() - t0) / 10
 
+    # measured launch-count anchor (VERDICT r3 #4a): primitives in OUR traced
+    # step graph (xla CG so the while body is visible) x the measured COLD
+    # p50 iteration count (the TF1 reference cold-starts every solve)
+    flow_xla = KarmanFlow(dom, advection="shift", max_shift=2,
+                          pressure_tol=ptol, pressure_max_iter=500,
+                          pressure_backend="xla")
+    static_ops, cg_body_ops = measured_launch_counts(flow_xla, dom, batch)
+    launches_fwd = static_ops + cg_stats["cg_iters_cold_p50"] * cg_body_ops
+    floor_measured = {
+        us: round(msteps * 3 * launches_fwd * us * 1e-6, 3)
+        for us in LAUNCH_US_BAND
+    }
+
     floor = derived_reference_floor(msteps)
     out = {
         "metric": "karman2d_sol32_sec_per_adam_iter",
@@ -172,6 +247,14 @@ def main() -> None:
         "unit": "s/iter",
         "vs_baseline": round(floor / sec_per_iter, 2),
         "baseline_basis": f"derived launch-bound floor {floor:.2f}s (bench.py docstring)",
+        "ref_floor_measured_opcounts": {
+            "static_ops_per_step": static_ops,
+            "cg_body_ops_per_iter": cg_body_ops,
+            "floor_s_by_launch_us": floor_measured,
+            "vs_baseline_by_launch_us": {
+                us: round(f / sec_per_iter, 2) for us, f in floor_measured.items()
+            },
+        },
         "vs_r1_estimate": round(R1_REFERENCE_EST / sec_per_iter, 2),
         "flops_per_iter": flops,
         "mfu": round(flops / sec_per_iter / V5E_PEAK_FLOPS, 5) if flops else None,

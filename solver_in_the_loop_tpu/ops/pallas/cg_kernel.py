@@ -171,7 +171,7 @@ def fused_cg_solve(b, fluid, face_u, face_v, tol: float = 1e-5, max_iter: int = 
     ms = face_v[:, :-1, :]
     diag = me + mw + mn + ms
 
-    if batched:
+    if batched and bsz > 1:
         # 2-D lane-folded single-instance kernel: (B, H, W) -> (H, B*W) with
         # the roll ghost masks pre-multiplied into the face masks, and a
         # constant block-diagonal ones matrix for per-batch reductions.
