@@ -61,14 +61,20 @@ preserve() {  # preserve NAME PATH...
   return 0
 }
 
-run_stage() {  # run_stage NAME [-V verify_glob] [deps...] -- cmd...
+run_stage() {  # run_stage NAME [-V verify_glob] [-T timeout_s] [deps...] -- cmd...
   # -V declares the stage's key output artifact (glob ok). A done-marker is
   # only honored if the artifact exists (stale hand-touched markers are the
   # round-3 hazard: VERDICT Weak #2), and rc=0 only counts as DONE if the
   # artifact was actually produced.
+  # -T bounds this stage (default STAGE_TIMEOUT): tunnel stalls freeze a
+  # process indefinitely; short stages should fail fast into the retry.
   local name=$1; shift
-  local verify=""
-  if [ "$1" = "-V" ]; then verify=$2; shift 2; fi
+  local verify="" stage_to="$STAGE_TIMEOUT"
+  while true; do
+    if [ "$1" = "-V" ]; then verify=$2; shift 2
+    elif [ "$1" = "-T" ]; then stage_to=$2; shift 2
+    else break; fi
+  done
   local deps=()
   while [ "$1" != "--" ]; do deps+=("$1"); shift; done
   shift
@@ -86,7 +92,7 @@ run_stage() {  # run_stage NAME [-V verify_glob] [deps...] -- cmd...
   done
   note "START $name"
   local t0=$SECONDS rc
-  timeout -k 60 "$STAGE_TIMEOUT" "$@" >> "runs/logs/$name.log" 2>&1
+  timeout -k 60 "$stage_to" "$@" >> "runs/logs/$name.log" 2>&1
   rc=$?
   if [ $rc -eq 0 ]; then
     if [ -n "$verify" ] && ! compgen -G "$verify" > /dev/null; then
@@ -101,7 +107,7 @@ run_stage() {  # run_stage NAME [-V verify_glob] [deps...] -- cmd...
   note "RETRY $name (rc=$rc) after 90s (tunnel flake?)"
   sleep 90
   guard
-  timeout -k 60 "$STAGE_TIMEOUT" "$@" >> "runs/logs/$name.log" 2>&1
+  timeout -k 60 "$stage_to" "$@" >> "runs/logs/$name.log" 2>&1
   rc=$?
   if [ $rc -eq 0 ]; then
     if [ -n "$verify" ] && ! compgen -G "$verify" > /dev/null; then
@@ -150,7 +156,7 @@ run_stage k_gen_test -V karman-fdt-hires-testset/sim_000004/velo_001499.npz -- b
 # Per-sim resumable: a finished sim (last corr frame exists) is not redone.
 for i in 0 1 2 3 4 5; do
   re=$(( 10000 * (2**(i+4)) ))
-  run_stage "k_presr_sim$i" -V "karman-fdt-presr-set/sim_$(printf '%06d' $i)/corr_001499.npz" -- bash -c "
+  run_stage "k_presr_sim$i" -T 2400 -V "karman-fdt-presr-set/sim_$(printf '%06d' $i)/corr_001499.npz" -- bash -c "
     sim=karman-fdt-presr-set/sim_$(printf '%06d' $i)
     [ -f \$sim/corr_001499.npz ] && exit 0
     rm -rf \$sim
@@ -190,7 +196,7 @@ run_stage b_gen_test -V burgers-fdt-hires-testset/sim_000004/velo_000199.npz -- 
 
 # --------------------------------------------------------------- burgers PRE
 for i in 0 1 2 3 4 5 6 7 8 9; do
-  run_stage "b_pre_sim$i" -V "burgers-fdt-pre-set/sim_$(printf '%06d' $i)/corr_000199.npz" b_gen_train -- bash -c "
+  run_stage "b_pre_sim$i" -T 2400 -V "burgers-fdt-pre-set/sim_$(printf '%06d' $i)/corr_000199.npz" b_gen_train -- bash -c "
     sim=$(printf '%06d' $i)
     [ -f burgers-fdt-pre-set/sim_\$sim/corr_000199.npz ] && exit 0
     rm -rf burgers-fdt-pre-set/sim_\$sim

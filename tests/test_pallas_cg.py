@@ -80,3 +80,42 @@ def test_fused_cg_warm_start():
                           tol=1e-8, max_iter=120, interpret=True,
                           x0=cold + 0.01 * jnp.asarray(rng.randn(2, 8, 8).astype(np.float32)))
     np.testing.assert_allclose(np.asarray(warm), np.asarray(cold), atol=1e-3)
+
+
+def test_fused_cg_folded_batch5_nonsquare():
+    """Lane-folded batched kernel at batch 5 on a non-square grid (B*W spills
+    past one 128-lane tile on real hardware; interpret mode checks the
+    block-mask/segment-sum algebra at that shape)."""
+    dom = Domain((16, 8), (16.0, 8.0), Boundary.OPEN)
+    fluid = sphere_fluid_mask(dom, (8.0, 4.0), 2.0)
+    masks = masks_from_fluid_cells(fluid, dom)
+    rng = np.random.RandomState(1)
+    rhs = jnp.where(fluid > 0, jnp.asarray(rng.randn(5, 16, 8).astype(np.float32)), 0.0)
+
+    def matvec(p):
+        lp = masked_laplacian(p, masks.face_u, masks.face_v)
+        return jnp.where(fluid > 0, -lp, p)
+
+    p_ref = cg_solve(matvec, rhs, tol=1e-10, max_iter=300)
+    p_fold = fused_cg_solve(rhs, masks.fluid, masks.face_u, masks.face_v,
+                            tol=1e-10, max_iter=300, interpret=True, batched=True)
+    np.testing.assert_allclose(np.asarray(p_fold), np.asarray(p_ref), atol=2e-4)
+
+
+def test_fused_cg_batched_b1_uses_grid_path():
+    """At batch 1 folding is pure overhead; batched=True must fall through to
+    the per-element grid kernel and still solve correctly."""
+    dom = Domain((8, 8), (8.0, 8.0), Boundary.OPEN)
+    fluid = sphere_fluid_mask(dom, (4.0, 4.0), 1.5)
+    masks = masks_from_fluid_cells(fluid, dom)
+    rng = np.random.RandomState(2)
+    rhs = jnp.where(fluid > 0, jnp.asarray(rng.randn(1, 8, 8).astype(np.float32)), 0.0)
+
+    def matvec(p):
+        lp = masked_laplacian(p, masks.face_u, masks.face_v)
+        return jnp.where(fluid > 0, -lp, p)
+
+    p_ref = cg_solve(matvec, rhs, tol=1e-10, max_iter=200)
+    p_b = fused_cg_solve(rhs, masks.fluid, masks.face_u, masks.face_v,
+                         tol=1e-10, max_iter=200, interpret=True, batched=True)
+    np.testing.assert_allclose(np.asarray(p_b), np.asarray(p_ref), atol=2e-4)
