@@ -137,6 +137,24 @@ train_stage() {  # train_stage NAME TFDIR [deps...] -- cmd...  (auto-resume + pr
 
 if [ "$1" = "--resume-flag" ]; then resume_flag "$2"; exit 0; fi
 
+if [ "$1" = "--selftest" ]; then
+  # Prove the artifact-verification contract (VERDICT r3 #5): a stale
+  # done-marker (no artifact) is re-run; rc=0 without the declared artifact
+  # is NOT marked done; marker+artifact is skipped. Runs in a throwaway dir.
+  tmp=$(mktemp -d) && cd "$tmp" || exit 1
+  mkdir -p runs/done runs/logs
+  DEADLINE=$(( $(date +%s) + 300 ))
+  touch runs/done/s1                       # stale: no out1.txt on disk
+  run_stage s1 -V out1.txt -- bash -c 'echo hi > out1.txt'
+  [ -f out1.txt ] && [ -f runs/done/s1 ] || { echo "selftest FAIL: stale marker not rerun"; exit 1; }
+  run_stage s2 -V missing.txt -- true      # rc=0 but artifact never produced
+  [ ! -f runs/done/s2 ] || { echo "selftest FAIL: s2 marked done without artifact"; exit 1; }
+  touch runs/done/s3 out3.txt              # genuine done: skip (cmd would fail)
+  run_stage s3 -V out3.txt -- false || { echo "selftest FAIL: s3 not skipped"; exit 1; }
+  cd / && rm -rf "$tmp"
+  echo "queue selftest OK"; exit 0
+fi
+
 # ---------------------------------------------------------------- karman data
 # (identical seeds/protocol as rounds 2-3: deterministic regeneration)
 run_stage k_gen_train -V karman-fdt-hires-set/sim_000005/velo_001499.npz -- bash -c '
