@@ -224,8 +224,12 @@ for i in 0 1 2 3 4 5 6 7 8 9; do
         --loadfH \"burgers-fdt-hires-set/sim_\$sim/forc_0*.npz\""
 done
 
+# Reference parity: burgers PRE trains the DEFAULT model (mars_moon) with NO
+# --augment (/root/reference/burgers/Makefile:66-67 passes neither flag;
+# jupiter_moon exists in the reference code but its Makefile workload does not
+# select it — a jupiter_moon variant runs as a bonus stage at the end).
 train_stage b_pre_train burgers-fdt-pre/tf b_pre_sim0 b_pre_sim1 b_pre_sim2 b_pre_sim3 b_pre_sim4 b_pre_sim5 b_pre_sim6 b_pre_sim7 b_pre_sim8 b_pre_sim9 -- \
-  $PY burgers-pre-train -o burgers-fdt-pre/tf --seed 0 --val 0.05 --epochs 400 --augment \
+  $PY burgers-pre-train -o burgers-fdt-pre/tf --seed 0 --val 0.05 --epochs 400 \
       'burgers-fdt-pre-set/sim_0*/'
 
 run_stage b_pre_test -V burgers-fdt-pre/run_test/sim_000004/velTf_000199.npz b_pre_train b_gen_test -- bash -c '
@@ -340,6 +344,29 @@ run_stage k_lores_testset -V karman-fdt-lores-testset/sim_000004/velo_000499.npz
         --initdH karman-fdt-hires-testset/sim_00000$i/dens_001000.npz \
         --initvH karman-fdt-hires-testset/sim_00000$i/velo_001000.npz || exit 1
   done'
+
+# ------------------------------------- bonus: burgers PRE with jupiter_moon
+# Exercises the reference's burgers-PRE-specific architecture
+# (/root/reference/burgers/burgers_train_pre.py:343-369) on real correction
+# data; compared against the Makefile-default mars_moon PRE in BENCH.md.
+train_stage b_pre_jm burgers-fdt-pre-jm/tf b_pre_sim9 -- \
+  $PY burgers-pre-train -o burgers-fdt-pre-jm/tf --model jupiter_moon \
+      --seed 0 --val 0.05 --epochs 400 'burgers-fdt-pre-set/sim_0*/'
+
+run_stage b_pre_jm_test -V burgers-fdt-pre-jm/run_test/sim_000004/velTf_000199.npz b_pre_jm b_gen_test -- bash -c '
+  source scripts/round2_queue_lib.sh
+  rm -rf burgers-fdt-pre-jm/run_test
+  for i in 0 1 2 3 4; do
+    sim=$(printf "%06d" $i)
+    $PY burgers-pre-apply -o burgers-fdt-pre-jm/run_test --arch jupiter_moon \
+        --stats burgers-fdt-pre-jm/tf/stats.json --model burgers-fdt-pre-jm/tf/model.msgpack \
+        --initvH burgers-fdt-hires-testset/sim_$sim/velo_000000.npz \
+        --loadfH "burgers-fdt-hires-testset/sim_$sim/forc_0*.npz" \
+        -d 4 -r 32 -l 32 --dt 0.1 -t 200 || exit 1
+  done'
+
+run_stage b_eval_pre_jm -V results_full_workload/eval_burgers_prejm_seed104.json b_pre_jm_test -- \
+  python scripts/cpu_eval_batch.py b_eval prejm burgers-fdt-pre-jm/run_test
 
 # -------------------------------------------------------------- final bench
 run_stage final_bench -V runs/bench_queue.json -- bash -c '

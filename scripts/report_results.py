@@ -17,7 +17,7 @@ RES = os.path.join(os.path.dirname(__file__), "..", "results_full_workload")
 K_RES = [240000, 480000, 960000, 1920000, 3840000]
 K_VARIANTS = ["sol32", "sol08", "non", "pre", "presr", "src"]
 B_SEEDS = [100, 101, 102, 103, 104]
-B_VARIANTS = ["sol04", "non", "pre", "src"]
+B_VARIANTS = ["sol04", "non", "pre", "prejm", "src"]
 
 
 def load(name):
