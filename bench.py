@@ -195,7 +195,8 @@ def main() -> None:
     d_r, v_r = initial_state(dom, 1)
     re_r = jnp.asarray([1.6e5], jnp.float32)
     p_prev = jnp.zeros_like(d_r.values)
-    it_cold, it_warm = [], []
+    p_prev2 = p_prev
+    it_cold, it_warm, it_extr = [], [], []
     pre = jax.jit(flow.pre_projection)
     for i in range(60):
         if i >= 20:  # skip the impulsive transient
@@ -206,7 +207,10 @@ def main() -> None:
                 div, flow.masks, tol=1e-5, max_iter=500)))
             it_warm.append(int(pressure_solve_iterations(
                 div, flow.masks, tol=1e-5, max_iter=500, x0=p_prev)))
-        d_r, v_r, p_prev = flow.step(d_r, v_r, re_r, dt=1.0, p0=p_prev)
+            it_extr.append(int(pressure_solve_iterations(
+                div, flow.masks, tol=1e-5, max_iter=500, x0=2 * p_prev - p_prev2)))
+        d_r, v_r, p_new = flow.step(d_r, v_r, re_r, dt=1.0, p0=p_prev)
+        p_prev2, p_prev = p_prev, p_new
     cg_stats = {
         # iteration percentiles are measured on the XLA CG path (the fused
         # Pallas kernel exits per-element and exposes no counter; solutions
@@ -216,6 +220,8 @@ def main() -> None:
         "cg_iters_cold_p95": float(np.percentile(it_cold, 95)),
         "cg_iters_warm_p50": float(np.percentile(it_warm, 50)),
         "cg_iters_warm_p95": float(np.percentile(it_warm, 95)),
+        "cg_iters_extrap_p50": float(np.percentile(it_extr, 50)),
+        "cg_iters_extrap_p95": float(np.percentile(it_extr, 95)),
     }
 
     # reference-style host feeding proxy: the TF1 loop ships the 33 GT frames
