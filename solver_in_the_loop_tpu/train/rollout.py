@@ -47,11 +47,12 @@ def karman_rollout(
     @jax.jit
     def rollout(params, d0: CenteredGrid, v0: StaggeredGrid, re):
         def step_fn(carry, _):
-            d, v, p1, p2, k = carry
-            # extrapolated warm start 2*p(t-1) - p(t-2): CG iterations p50
-            # 110 cold -> 82 warm -> ~37 extrapolated (BENCH.md); first two
-            # steps fall back to p(t-1)/cold
-            x0 = jnp.where(k >= 2, 2.0 * p1 - p2, p1)
+            d, v, p1, p2, p3, k = carry
+            # quadratic extrapolated warm start 3p1-3p2+p3: CG iterations p50
+            # 110 cold -> 82 warm -> ~28 extrapolated (BENCH.md); early steps
+            # fall back to linear / previous-pressure / cold
+            x0 = jnp.where(k >= 3, 3.0 * p1 - 3.0 * p2 + p3,
+                           jnp.where(k >= 2, 2.0 * p1 - p2, p1))
             d, v, p = flow.step(d, v, re, dt=dt, p0=x0)
             cu = jnp.zeros_like(v.u)
             cv = jnp.zeros_like(v.v)
@@ -60,14 +61,14 @@ def karman_rollout(
                 corr = correction_to_staggered(model_apply(params, feat), norm, dom)
                 v = v + corr
                 cu, cv = corr.u, corr.v
-            return (d, v, p, p1, k + 1), (d.values, v.u, v.v, cu, cv)
+            return (d, v, p, p1, p2, k + 1), (d.values, v.u, v.v, cu, cv)
 
         def warm(carry, _):
             new_carry, _out = step_fn(carry, None)
             return new_carry, None
 
         p0_init = jnp.zeros_like(d0.values)
-        carry = (d0, v0, p0_init, p0_init, jnp.int32(0))
+        carry = (d0, v0, p0_init, p0_init, p0_init, jnp.int32(0))
         if collect_from > 0:
             carry, _ = lax.scan(warm, carry, None, length=collect_from)
         _, frames = lax.scan(step_fn, carry, None, length=n_collect)

@@ -175,19 +175,20 @@ def make_karman_train_step(
         std_u = norm.out_scales[1]
 
         def body(carry, gt):
-            dens, vel, p1, p2, k = carry
+            dens, vel, p1, p2, p3, k = carry
             gtu, gtv = gt
-            # second-order extrapolated warm start: the linear prediction
-            # 2*p(t-1) - p(t-2) cuts forward CG iterations p50 82 -> ~37
-            # (measured, BENCH.md); first two steps fall back to p(t-1)/cold
-            x0 = jnp.where(k >= 2, 2.0 * p1 - p2, p1)
+            # quadratic extrapolated warm start 3p1-3p2+p3: forward CG
+            # iterations p50 82 (plain warm) -> ~28 (measured, BENCH.md);
+            # early steps fall back to linear / previous-pressure / cold
+            x0 = jnp.where(k >= 3, 3.0 * p1 - 3.0 * p2 + p3,
+                           jnp.where(k >= 2, 2.0 * p1 - p2, p1))
             dens, vel, p = step_with_correction(params, norm, dens, vel, x0, re_batch)
             step_loss = jnp.sum(w * (l2_loss_rows((gtv - vel.v) / std_v)
                                      + l2_loss_rows((gtu - vel.u) / std_u)))
-            return (dens, vel, p, p1, k + 1), step_loss
+            return (dens, vel, p, p1, p2, k + 1), step_loss
 
         p_init = jnp.zeros_like(d0.values)
-        carry0 = (d0, v0, p_init, p_init, jnp.int32(0))
+        carry0 = (d0, v0, p_init, p_init, p_init, jnp.int32(0))
         _, step_losses = jax.lax.scan(body, carry0, (gt_u, gt_v))
         return jnp.sum(step_losses) / msteps, step_losses
 
