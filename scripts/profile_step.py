@@ -88,7 +88,10 @@ def main() -> None:
     events = []
     for xp in glob.glob(os.path.join(args.out, "plugins/profile/*/*.xplane.pb")):
         try:
-            from tensorboard_plugin_profile.protobuf import xplane_pb2
+            try:
+                from tensorflow.tsl.profiler.protobuf import xplane_pb2
+            except ImportError:
+                from tensorboard_plugin_profile.protobuf import xplane_pb2
             space = xplane_pb2.XSpace()
             with open(xp, "rb") as f:
                 space.ParseFromString(f.read())
