@@ -47,10 +47,24 @@ def _batched_enabled() -> bool:
                      "artifacts", "perf", "batched_cg_ok"))
 
 
+def _fdpcg_enabled() -> bool:
+    """Fast-diagonalization preconditioning inside the fused kernel (MXU
+    matmuls in the CG loop). Same gating discipline as the batched kernel:
+    env override, else a hardware-validation marker dropped by
+    scripts/validate_fd_pcg.py after a real-TPU compile+correctness check."""
+    v = os.environ.get("SILT_PALLAS_FDPCG")
+    if v is not None:
+        return v == "1"
+    return os.path.exists(
+        os.path.join(os.path.dirname(__file__), "..", "..", "..",
+                     "artifacts", "perf", "fd_pcg_ok"))
+
+
 def pallas_cg_solve(b, masks, tol: float, max_iter: int, x0=None):
     """Solve the masked Poisson system with the fused kernel. See cg_kernel.py."""
     from solver_in_the_loop_tpu.ops.pallas.cg_kernel import fused_cg_solve
 
     return fused_cg_solve(b, masks.fluid, masks.face_u, masks.face_v,
                           tol=tol, max_iter=max_iter, x0=x0,
-                          batched=_batched_enabled())
+                          batched=_batched_enabled(),
+                          precon=_fdpcg_enabled())

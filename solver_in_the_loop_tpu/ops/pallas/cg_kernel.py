@@ -109,6 +109,129 @@ def _cg_kernel_folded(b_ref, x0_ref, fluid_ref, me_ref, mw_ref, mn_ref, ms_ref,
     x_ref[...] = x
 
 
+def _pcg_kernel_folded(b_ref, x0_ref, fluid_ref, me_ref, mw_ref, mn_ref, ms_ref,
+                       diag_ref, m_ref, vy_ref, vyt_ref, bx_ref, bxt_ref,
+                       invd_ref, x_ref, *, tol: float, max_iter: int):
+    """Lane-folded whole-batch PCG with the fast-diagonalization
+    preconditioner: z = Vy ((Vy^T r Vx) * invd) Vx^T applied per batch block
+    via block-diagonal Bx = kron(I_B, Vx). Four MXU matmuls per iteration on
+    top of the VPU stencil; iteration counts drop 110 -> 23 cold / 28 -> 8
+    extrapolated-warm on the karman operator (BENCH.md round 4). Same
+    true-residual stopping rule as the plain kernel."""
+    b = b_ref[...]
+    x0 = x0_ref[...]
+    fluid = fluid_ref[...]
+    me, mw, mn, ms = me_ref[...], mw_ref[...], mn_ref[...], ms_ref[...]
+    diag = diag_ref[...]
+    m = m_ref[...]
+    vy, vyt = vy_ref[...], vyt_ref[...]
+    bx, bxt = bx_ref[...], bxt_ref[...]
+    invd = invd_ref[...]
+    solid = 1.0 - fluid
+    h, _bw = b.shape
+
+    def apply_a(p):
+        p_e = pltpu.roll(p, shift=_bw - 1, axis=1)
+        p_w = pltpu.roll(p, shift=1, axis=1)
+        p_n = pltpu.roll(p, shift=h - 1, axis=0)
+        p_s = pltpu.roll(p, shift=1, axis=0)
+        lap = me * p_e + mw * p_w + mn * p_n + ms * p_s - diag * p
+        return fluid * (-lap) + solid * p
+
+    def minv(r):
+        t = jnp.dot(vyt, r, preferred_element_type=jnp.float32)
+        t = jnp.dot(t, bx, preferred_element_type=jnp.float32)
+        t = t * invd
+        t = jnp.dot(vy, t, preferred_element_type=jnp.float32)
+        return jnp.dot(t, bxt, preferred_element_type=jnp.float32)
+
+    def dot(a, c):  # (H, B*W) -> (1, B*W): per-block sums, broadcast to lanes
+        cols = jnp.sum(a * c, axis=0, keepdims=True)
+        return jnp.dot(cols, m, preferred_element_type=jnp.float32)
+
+    bb = dot(b, b)
+    thresh = (tol * tol) * jnp.maximum(bb, 1e-30)
+
+    def cond(state):
+        i, _x, _r, _p, _rz, rs = state
+        return jnp.logical_and(i < max_iter, jnp.any(rs > thresh))
+
+    def body(state):
+        i, x, r, pv, rz, _rs = state
+        ap = apply_a(pv)
+        p_ap = dot(pv, ap)
+        safe = jnp.where(p_ap == 0.0, 1.0, p_ap)
+        alpha = jnp.where(p_ap == 0.0, 0.0, rz / safe)
+        x = x + alpha * pv
+        r = r - alpha * ap
+        z = minv(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.where(rz == 0.0, 1.0, rz)
+        pv = z + beta * pv
+        return (i + 1, x, r, pv, rz_new, dot(r, r))
+
+    r0 = b - apply_a(x0)
+    z0 = minv(r0)
+    _, x, *_ = lax.while_loop(
+        cond, body, (jnp.int32(0), x0, r0, z0, dot(r0, z0), dot(r0, r0)))
+    x_ref[...] = x
+
+
+def _pcg_kernel(b_ref, x0_ref, fluid_ref, me_ref, mw_ref, mn_ref, ms_ref,
+                diag_ref, vy_ref, vyt_ref, vx_ref, vxt_ref, invd_ref,
+                x_ref, *, tol: float, max_iter: int):
+    """Per-element-grid PCG variant (batch-1 fallthrough path)."""
+    b = b_ref[0]
+    x0 = x0_ref[0]
+    fluid = fluid_ref[0]
+    me, mw, mn, ms = me_ref[0], mw_ref[0], mn_ref[0], ms_ref[0]
+    diag = diag_ref[0]
+    vy, vyt = vy_ref[...], vyt_ref[...]
+    vx, vxt = vx_ref[...], vxt_ref[...]
+    invd = invd_ref[...]
+    solid = 1.0 - fluid
+
+    def apply_a(p):
+        p_e, p_w, p_n, p_s = _neighbor_shifts(p)
+        lap = me * p_e + mw * p_w + mn * p_n + ms * p_s - diag * p
+        return fluid * (-lap) + solid * p
+
+    def minv(r):
+        t = jnp.dot(vyt, r, preferred_element_type=jnp.float32)
+        t = jnp.dot(t, vx, preferred_element_type=jnp.float32)
+        t = t * invd
+        t = jnp.dot(vy, t, preferred_element_type=jnp.float32)
+        return jnp.dot(t, vxt, preferred_element_type=jnp.float32)
+
+    bb = jnp.sum(b * b)
+    thresh = (tol * tol) * jnp.maximum(bb, 1e-30)
+
+    def cond(state):
+        i, _x, _r, _p, _rz, rs = state
+        return jnp.logical_and(i < max_iter, rs > thresh)
+
+    def body(state):
+        i, x, r, pv, rz, _rs = state
+        ap = apply_a(pv)
+        p_ap = jnp.sum(pv * ap)
+        safe = jnp.where(p_ap == 0.0, 1.0, p_ap)
+        alpha = jnp.where(p_ap == 0.0, 0.0, rz / safe)
+        x = x + alpha * pv
+        r = r - alpha * ap
+        z = minv(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.where(rz == 0.0, 1.0, rz)
+        pv = z + beta * pv
+        return (i + 1, x, r, pv, rz_new, jnp.sum(r * r))
+
+    r0 = b - apply_a(x0)
+    z0 = minv(r0)
+    _, x, *_ = lax.while_loop(
+        cond, body,
+        (jnp.int32(0), x0, r0, z0, jnp.sum(r0 * z0), jnp.sum(r0 * r0)))
+    x_ref[0] = x
+
+
 def _cg_kernel(b_ref, x0_ref, fluid_ref, me_ref, mw_ref, mn_ref, ms_ref, diag_ref,
                x_ref, *, tol: float, max_iter: int):
     b = b_ref[0]
@@ -151,9 +274,10 @@ def _cg_kernel(b_ref, x0_ref, fluid_ref, me_ref, mw_ref, mn_ref, ms_ref, diag_re
     x_ref[0] = x
 
 
-@functools.partial(jax.jit, static_argnames=("tol", "max_iter", "interpret", "batched"))
+@functools.partial(jax.jit, static_argnames=("tol", "max_iter", "interpret", "batched", "precon"))
 def fused_cg_solve(b, fluid, face_u, face_v, tol: float = 1e-5, max_iter: int = 1000,
-                   interpret: bool = False, x0=None, batched: bool = True):
+                   interpret: bool = False, x0=None, batched: bool = True,
+                   precon: bool = False):
     """b (B, H, W); fluid (1, H, W); face_u (1, H, W+1); face_v (1, H+1, W).
 
     x0 (B, H, W) warm-starts CG (r0 = b - A x0); None means cold start.
@@ -161,7 +285,11 @@ def fused_cg_solve(b, fluid, face_u, face_v, tol: float = 1e-5, max_iter: int = 
     batched=True (default) runs the whole batch in ONE kernel instance —
     a grid over the batch would execute its CG loops sequentially on the
     single TensorCore, multiplying the dependent-iteration chain by B.
-    batched=False keeps the per-element grid (per-element early exit)."""
+    batched=False keeps the per-element grid (per-element early exit).
+
+    precon=True applies the fast-diagonalization preconditioner (exact
+    inverse of the obstacle-free separable operator, ops.poisson.fd_minv)
+    inside the kernel via MXU matmuls — valid for OPEN boundaries only."""
     bsz, h, w = b.shape
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -170,6 +298,14 @@ def fused_cg_solve(b, fluid, face_u, face_v, tol: float = 1e-5, max_iter: int = 
     mn = face_v[:, 1:, :]
     ms = face_v[:, :-1, :]
     diag = me + mw + mn + ms
+
+    if precon:
+        from solver_in_the_loop_tpu.ops.poisson import _fd_precon_np
+
+        vy_np, vx_np, invd_np = _fd_precon_np(h, w)
+        vy = jnp.asarray(vy_np)
+        vx = jnp.asarray(vx_np)
+        invd = jnp.asarray(invd_np)
 
     if batched and bsz > 1:
         # 2-D lane-folded single-instance kernel: (B, H, W) -> (H, B*W) with
@@ -189,17 +325,42 @@ def fused_cg_solve(b, fluid, face_u, face_v, tol: float = 1e-5, max_iter: int = 
         ms_f = tile(ms) * s_mask
         seg = jnp.kron(jnp.eye(bsz, dtype=b.dtype), jnp.ones((w, w), b.dtype))
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
-        x = pl.pallas_call(
-            functools.partial(_cg_kernel_folded, tol=tol, max_iter=max_iter),
-            out_shape=jax.ShapeDtypeStruct((h, bsz * w), b.dtype),
-            in_specs=[full] * 9,
-            out_specs=full,
-            interpret=interpret,
-        )(fold(b), fold(x0), tile(fluid), me_f, mw_f, mn_f, ms_f, tile(diag), seg)
+        if precon:
+            bx = jnp.kron(jnp.eye(bsz, dtype=b.dtype), vx)
+            x = pl.pallas_call(
+                functools.partial(_pcg_kernel_folded, tol=tol, max_iter=max_iter),
+                out_shape=jax.ShapeDtypeStruct((h, bsz * w), b.dtype),
+                in_specs=[full] * 14,
+                out_specs=full,
+                interpret=interpret,
+            )(fold(b), fold(x0), tile(fluid), me_f, mw_f, mn_f, ms_f, tile(diag),
+              seg, vy, vy.T, bx, bx.T, jnp.tile(invd, (1, bsz)))
+        else:
+            x = pl.pallas_call(
+                functools.partial(_cg_kernel_folded, tol=tol, max_iter=max_iter),
+                out_shape=jax.ShapeDtypeStruct((h, bsz * w), b.dtype),
+                in_specs=[full] * 9,
+                out_specs=full,
+                interpret=interpret,
+            )(fold(b), fold(x0), tile(fluid), me_f, mw_f, mn_f, ms_f, tile(diag), seg)
         return jnp.transpose(x.reshape(h, bsz, w), (1, 0, 2))
 
     block = pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     shared = pl.BlockSpec((1, h, w), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+
+    if precon:
+        mat = lambda n, m: pl.BlockSpec((n, m), lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_pcg_kernel, tol=tol, max_iter=max_iter),
+            grid=(bsz,),
+            out_shape=jax.ShapeDtypeStruct(b.shape, b.dtype),
+            in_specs=[block, block, shared, shared, shared, shared, shared,
+                      shared, mat(h, h), mat(h, h), mat(w, w), mat(w, w),
+                      mat(h, w)],
+            out_specs=block,
+            interpret=interpret,
+        )(b, x0, fluid, me, mw, mn, ms, diag, vy, vy.T, vx, vx.T, invd)
 
     return pl.pallas_call(
         functools.partial(_cg_kernel, tol=tol, max_iter=max_iter),

@@ -18,11 +18,13 @@ never a backprop through CG iterations. A fused Pallas kernel backend
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.ad_checkpoint import checkpoint_name
 
@@ -140,6 +142,92 @@ def cg_solve(
     return cg_solve_info(matvec, b, tol, max_iter, x0)[0]
 
 
+# ---------------------------------------------------------------------------
+# Fast-diagonalization preconditioner (open boundaries).
+#
+# The obstacle-free part of the masked operator -div(grad p) with Dirichlet-0
+# ghosts is separable: A0 = Ay (x) I + I (x) Ax, with Ay/Ax the 1-D Dirichlet
+# Laplacians tridiag(-1, 2, -1). Eigendecomposing both (once per shape, at
+# trace time) gives an EXACT inverse of A0 applied as four small dense
+# matmuls — MXU work on TPU:
+#     M^-1 r = Vy [ (Vy^T r Vx) / (ly + lx) ] Vx^T.
+# Used as the SPD preconditioner in PCG for the full masked operator (the
+# sphere obstacle touches ~5% of cells); measured on the real karman step
+# sequence it cuts CG iterations 110 -> 23 cold and 28 -> 8 with the
+# quadratic-extrapolation warm start (BENCH.md round 4). The cold win is what
+# matters for the ADJOINT solves in training, which have no warm start.
+
+
+@functools.lru_cache(maxsize=8)
+def _fd_precon_np(ny: int, nx: int):
+    def lap1d(n):
+        a = 2.0 * np.eye(n)
+        idx = np.arange(n - 1)
+        a[idx, idx + 1] = a[idx + 1, idx] = -1.0
+        return a
+
+    ly, vy = np.linalg.eigh(lap1d(ny))
+    lx, vx = np.linalg.eigh(lap1d(nx))
+    inv_denom = 1.0 / (ly[:, None] + lx[None, :])
+    return (vy.astype(np.float32), vx.astype(np.float32),
+            inv_denom.astype(np.float32))
+
+
+def fd_minv(ny: int, nx: int):
+    """Return the fast-diagonalization preconditioner apply: (B, ny, nx) field
+    -> (B, ny, nx), the exact obstacle-free -laplacian inverse."""
+    vy, vx, inv_denom = (jnp.asarray(a) for a in _fd_precon_np(ny, nx))
+
+    def minv(r):
+        t = jnp.einsum("jy,bjx->byx", vy, r)
+        t = jnp.einsum("byj,jx->byx", t, vx)
+        t = t * inv_denom
+        t = jnp.einsum("yj,bjx->byx", vy, t)
+        return jnp.einsum("byj,xj->byx", t, vx)
+
+    return minv
+
+
+def pcg_solve_info(
+    matvec, minv, b: jnp.ndarray, tol: float, max_iter: int,
+    x0: Optional[jnp.ndarray] = None,
+):
+    """Preconditioned CG; same stopping rule as cg_solve_info (true residual
+    norm vs tol * ||b||), so solutions are interchangeable with plain CG."""
+    b_norm_sq = _dot(b, b)
+    thresh = (tol * tol) * jnp.maximum(b_norm_sq, 1e-30)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+        r0 = b
+        rs0 = b_norm_sq
+    else:
+        r0 = b - matvec(x0)
+        rs0 = _dot(r0, r0)
+    z0 = minv(r0)
+    rz0 = _dot(r0, z0)
+
+    def cond(state):
+        i, _x, _r, _p, _rz, rs = state
+        return jnp.logical_and(i < max_iter, jnp.any(rs > thresh))
+
+    def body(state):
+        i, x, r, p, rz, _rs = state
+        ap = matvec(p)
+        p_ap = _dot(p, ap)
+        alpha = jnp.where(p_ap == 0, 0.0, rz / jnp.where(p_ap == 0, 1.0, p_ap))
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = minv(r)
+        rz_new = _dot(r, z)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        p = z + beta * p
+        return (i + 1, x, r, p, rz_new, _dot(r, r))
+
+    iters, x, *_ = lax.while_loop(
+        cond, body, (jnp.int32(0), x0, r0, z0, rz0, rs0))
+    return x, iters
+
+
 @partial(jax.jit, static_argnames=("periodic", "tol", "max_iter", "backend"))
 def solve_pressure(
     div: jnp.ndarray,
@@ -201,6 +289,14 @@ def solve_pressure(
 
         def solve_fn(_mv, b, x0=None):
             return mg_pcg_solve(hierarchy, b, tol=tol, max_iter=max_iter, x0=x0)
+    elif not periodic:
+        # XLA path with the fast-diagonalization preconditioner: 110 -> 23
+        # cold iterations on the karman operator (exact inverse of the
+        # obstacle-free separable part; four small matmuls per iteration)
+        minv = fd_minv(rhs.shape[1], rhs.shape[2])
+
+        def solve_fn(mv, b, x0=None):
+            return pcg_solve_info(mv, minv, b, tol=tol, max_iter=max_iter, x0=x0)[0]
     else:
         def solve_fn(mv, b, x0=None):
             return cg_solve(mv, b, tol=tol, max_iter=max_iter, x0=x0)
@@ -224,9 +320,12 @@ def pressure_solve_iterations(
     tol: float = 1e-5,
     max_iter: int = 1000,
     x0: Optional[jnp.ndarray] = None,
+    precon: bool = False,
 ) -> jnp.ndarray:
-    """Diagnostic (non-differentiable): the XLA-CG iteration count this solve
-    takes. Used by bench.py to report p50/p95 iterations cold vs warm."""
+    """Diagnostic (non-differentiable): the XLA CG/PCG iteration count this
+    solve takes. Used by bench.py to report p50/p95 iterations cold vs warm
+    (precon=True measures the FD-preconditioned path production uses for
+    open boundaries)."""
     fluid = masks.fluid
 
     def matvec(p):
@@ -236,6 +335,9 @@ def pressure_solve_iterations(
     rhs = jnp.where(fluid > 0, -div, 0.0)
     if x0 is not None:
         x0 = jnp.where(fluid > 0, x0, 0.0)
+    if precon and not periodic:
+        minv = fd_minv(rhs.shape[1], rhs.shape[2])
+        return pcg_solve_info(matvec, minv, rhs, tol=tol, max_iter=max_iter, x0=x0)[1]
     return cg_solve_info(matvec, rhs, tol=tol, max_iter=max_iter, x0=x0)[1]
 
 

@@ -119,3 +119,44 @@ def test_fused_cg_batched_b1_uses_grid_path():
     p_b = fused_cg_solve(rhs, masks.fluid, masks.face_u, masks.face_v,
                          tol=1e-10, max_iter=200, interpret=True, batched=True)
     np.testing.assert_allclose(np.asarray(p_b), np.asarray(p_ref), atol=2e-4)
+
+
+def test_fused_pcg_folded_matches_plain():
+    """FD-preconditioned folded kernel converges to the same solution as the
+    plain folded kernel (both solve to a tight tolerance)."""
+    dom = Domain((16, 8), (16.0, 8.0), Boundary.OPEN)
+    fluid = sphere_fluid_mask(dom, (8.0, 4.0), 2.0)
+    masks = masks_from_fluid_cells(fluid, dom)
+    rng = np.random.RandomState(3)
+    rhs = jnp.where(fluid > 0, jnp.asarray(rng.randn(3, 16, 8).astype(np.float32)), 0.0)
+    plain = fused_cg_solve(rhs, masks.fluid, masks.face_u, masks.face_v,
+                           tol=1e-9, max_iter=400, interpret=True, batched=True)
+    pcg = fused_cg_solve(rhs, masks.fluid, masks.face_u, masks.face_v,
+                         tol=1e-9, max_iter=400, interpret=True, batched=True,
+                         precon=True)
+    np.testing.assert_allclose(np.asarray(pcg), np.asarray(plain), atol=2e-4)
+
+
+def test_fused_pcg_grid_variant_and_warm_start():
+    """Per-element PCG kernel (batch-1 fallthrough) solves correctly, cold and
+    with a perturbed warm start."""
+    dom = Domain((8, 8), (8.0, 8.0), Boundary.OPEN)
+    fluid = sphere_fluid_mask(dom, (4.0, 4.0), 1.5)
+    masks = masks_from_fluid_cells(fluid, dom)
+    rng = np.random.RandomState(5)
+    rhs = jnp.where(fluid > 0, jnp.asarray(rng.randn(1, 8, 8).astype(np.float32)), 0.0)
+
+    def matvec(p):
+        lp = masked_laplacian(p, masks.face_u, masks.face_v)
+        return jnp.where(fluid > 0, -lp, p)
+
+    p_ref = cg_solve(matvec, rhs, tol=1e-10, max_iter=200)
+    cold = fused_cg_solve(rhs, masks.fluid, masks.face_u, masks.face_v,
+                          tol=1e-9, max_iter=200, interpret=True, batched=True,
+                          precon=True)
+    np.testing.assert_allclose(np.asarray(cold), np.asarray(p_ref), atol=2e-4)
+    warm = fused_cg_solve(rhs, masks.fluid, masks.face_u, masks.face_v,
+                          tol=1e-9, max_iter=200, interpret=True, batched=True,
+                          precon=True,
+                          x0=cold + 0.01 * jnp.asarray(rng.randn(1, 8, 8).astype(np.float32)))
+    np.testing.assert_allclose(np.asarray(warm), np.asarray(cold), atol=1e-3)
