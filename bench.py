@@ -197,25 +197,32 @@ def main() -> None:
     p_prev = jnp.zeros_like(d_r.values)
     p_prev2 = p_prev3 = p_prev
     it_cold, it_warm, it_extr = [], [], []
+    it_pcold, it_pextr = [], []
     pre = jax.jit(flow.pre_projection)
     for i in range(60):
         if i >= 20:  # skip the impulsive transient
             _, vel_adv = pre(d_r, v_r, re_r, 1.0)
             div = divergence(vel_adv.u * flow.masks.face_u,
                              vel_adv.v * flow.masks.face_v)
+            x0e = 3 * p_prev - 3 * p_prev2 + p_prev3
             it_cold.append(int(pressure_solve_iterations(
                 div, flow.masks, tol=1e-5, max_iter=500)))
             it_warm.append(int(pressure_solve_iterations(
                 div, flow.masks, tol=1e-5, max_iter=500, x0=p_prev)))
             it_extr.append(int(pressure_solve_iterations(
-                div, flow.masks, tol=1e-5, max_iter=500,
-                x0=3 * p_prev - 3 * p_prev2 + p_prev3)))
+                div, flow.masks, tol=1e-5, max_iter=500, x0=x0e)))
+            # the production path (FD-preconditioned, ops/poisson.py): cold =
+            # what adjoint solves see, extrap = the forward warm start
+            it_pcold.append(int(pressure_solve_iterations(
+                div, flow.masks, tol=1e-5, max_iter=500, precon=True)))
+            it_pextr.append(int(pressure_solve_iterations(
+                div, flow.masks, tol=1e-5, max_iter=500, x0=x0e, precon=True)))
         d_r, v_r, p_new = flow.step(d_r, v_r, re_r, dt=1.0, p0=p_prev)
         p_prev3, p_prev2, p_prev = p_prev2, p_prev, p_new
     cg_stats = {
-        # iteration percentiles are measured on the XLA CG path (the fused
-        # Pallas kernel exits per-element and exposes no counter; solutions
-        # agree to tol so counts are representative) — ADVICE r3 item 4
+        # iteration percentiles are measured on the XLA CG/PCG paths (the
+        # fused Pallas kernel exits per-element and exposes no counter;
+        # solutions agree to tol so counts are representative) — ADVICE r3 #4
         "cg_iter_stats_path": "xla",
         "cg_iters_cold_p50": float(np.percentile(it_cold, 50)),
         "cg_iters_cold_p95": float(np.percentile(it_cold, 95)),
@@ -223,6 +230,10 @@ def main() -> None:
         "cg_iters_warm_p95": float(np.percentile(it_warm, 95)),
         "cg_iters_extrap_p50": float(np.percentile(it_extr, 50)),
         "cg_iters_extrap_p95": float(np.percentile(it_extr, 95)),
+        "pcg_iters_cold_p50": float(np.percentile(it_pcold, 50)),
+        "pcg_iters_cold_p95": float(np.percentile(it_pcold, 95)),
+        "pcg_iters_extrap_p50": float(np.percentile(it_pextr, 50)),
+        "pcg_iters_extrap_p95": float(np.percentile(it_pextr, 95)),
     }
 
     # reference-style host feeding proxy: the TF1 loop ships the 33 GT frames
