@@ -61,10 +61,18 @@ def main() -> None:
     opt_state = optimizer.init(params)
     train_step = make_karman_train_step(flow, model.apply, optimizer, cfg)
 
+    # Pre-stage every iteration's index batch on device BEFORE tracing: on the
+    # tunneled chip a per-iteration host->device feed costs ~100ms of
+    # copy-start wait that swamps the trace (observed 71% copy-start in the
+    # r4 first capture) and does not exist on a locally-attached host.
+    all_idx = [jax.device_put(jnp.asarray(
+        np.stack([(np.arange(batch) + i) % n_sims,
+                  (np.arange(batch) * 7 + i) % (n_frames - args.msteps - 1)], 1),
+        jnp.int32)) for i in range(max(args.iters, 2))]
+    jax.block_until_ready(all_idx)
+
     def idx(i):
-        return jnp.asarray(np.stack([(np.arange(batch) + i) % n_sims,
-                                     (np.arange(batch) * 7 + i) % (n_frames - args.msteps - 1)], 1),
-                           jnp.int32)
+        return all_idx[i % len(all_idx)]
 
     for i in range(2):  # compile + warm
         params, opt_state, loss, _ = train_step(params, opt_state, data, norm, idx(i))
@@ -103,18 +111,30 @@ def main() -> None:
                 continue
             ev_names = plane.event_metadata
             for line in plane.lines:
+                # Aggregate the op-level line only: the Steps/XLA Modules/Async
+                # lines hold enclosing spans (whole step, copy-start waits)
+                # that double-count or measure tunnel transfers, not compute.
+                if line.name != "XLA Ops":
+                    continue
                 for ev in line.events:
                     name = ev_names[ev.metadata_id].name
                     events.append((name, ev.duration_ps / 1e6))  # us
     if events:
         agg = collections.Counter()
+        n = collections.Counter()
         for name, us in events:
             key = name.split(".")[0].split("(")[0][:48]
             agg[key] += us
-        total = sum(agg.values())
-        print(f"\ndevice op time ({total/1e3:.2f} ms total across {args.iters} iters):")
-        for k, us in agg.most_common(25):
-            print(f"  {us/1e3:9.3f} ms  {100*us/total:5.1f}%  {k}")
+            n[key] += 1
+        # %while is the msteps scan: it CONTAINS every fused op that also
+        # appears as its own event, so drop it from the total to avoid 2x.
+        inner = {k: us for k, us in agg.items() if k != "%while"}
+        total = sum(inner.values())
+        print(f"\ndevice op time ({total/1e3:.2f} ms total across {args.iters}"
+              f" iters; scan span %while={agg.get('%while', 0)/1e3:.2f} ms"
+              " contains the rest and is excluded):")
+        for k, us in sorted(inner.items(), key=lambda kv: -kv[1])[:25]:
+            print(f"  {us/1e3:9.3f} ms  {100*us/total:5.1f}%  n={n[k]:7d}  {k}")
 
 
 if __name__ == "__main__":
