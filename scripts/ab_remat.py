@@ -42,7 +42,6 @@ def main() -> None:
     dom = karman_domain(res)
     flow = KarmanFlow(dom, advection="shift", max_shift=2,
                       pressure_tol=1e-5, pressure_max_iter=500)
-    model = build_model("mars_moon")
     norm = Normalization.karman(0.7, 0.12, 1.8e6)
     rng = np.random.RandomState(0)
     data = {
@@ -57,11 +56,17 @@ def main() -> None:
         jnp.int32)) for i in range(8)]
     jax.block_until_ready(all_idx)
 
-    variants = [("remat=pressure", dict(remat=True, remat_policy="pressure")),
-                ("remat=pressure+advect", dict(remat=True, remat_policy="pressure+advect")),
-                ("remat=off", dict(remat=False))]
+    variants = [
+        ("remat=pressure", "float32", dict(remat=True, remat_policy="pressure")),
+        ("remat=pressure+conv", "float32", dict(remat=True, remat_policy="pressure+conv")),
+        ("remat=pressure+conv bf16", "bfloat16", dict(remat=True, remat_policy="pressure+conv")),
+        ("remat=pressure bf16", "bfloat16", dict(remat=True, remat_policy="pressure")),
+        ("remat=pressure+advect", "float32", dict(remat=True, remat_policy="pressure+advect")),
+        ("remat=off", "float32", dict(remat=False)),
+    ]
     results = {}
-    for name, kw in variants:
+    for name, cdtype, kw in variants:
+        model = build_model("mars_moon", compute_dtype=jnp.dtype(cdtype))
         cfg = SolTrainConfig(msteps=args.msteps, lr=1e-4, batch_size=batch, **kw)
         params = model.init(jax.random.PRNGKey(0),
                             jnp.zeros((batch, dom.ny, dom.nx, 3)))

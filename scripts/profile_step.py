@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--msteps", type=int, default=32)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--out", default="runs/profile_step")
+    ap.add_argument("--by-name", action="store_true",
+                    help="aggregate by FULL op name (e.g. %%fusion.1234) instead "
+                         "of the name prefix, and dump the compiled HLO so hot "
+                         "fusions can be mapped back to source ops")
     args = ap.parse_args()
 
     from solver_in_the_loop_tpu.models.features import Normalization
@@ -78,6 +82,14 @@ def main() -> None:
         params, opt_state, loss, _ = train_step(params, opt_state, data, norm, idx(i))
     jax.block_until_ready(loss)
 
+    if args.by_name:
+        os.makedirs(args.out, exist_ok=True)
+        hlo = train_step.lower(params, opt_state, data, norm, idx(0)).compile().as_text()
+        hlo_path = os.path.join(args.out, "hlo.txt")
+        with open(hlo_path, "w") as f:
+            f.write(hlo)
+        print(f"compiled HLO ({len(hlo.splitlines())} lines) -> {hlo_path}")
+
     os.makedirs(args.out, exist_ok=True)
     t0 = time.perf_counter()
     with jax.profiler.trace(args.out):
@@ -123,17 +135,18 @@ def main() -> None:
         agg = collections.Counter()
         n = collections.Counter()
         for name, us in events:
-            key = name.split(".")[0].split("(")[0][:48]
+            key = name if args.by_name else name.split(".")[0].split("(")[0][:48]
             agg[key] += us
             n[key] += 1
         # %while is the msteps scan: it CONTAINS every fused op that also
         # appears as its own event, so drop it from the total to avoid 2x.
-        inner = {k: us for k, us in agg.items() if k != "%while"}
+        while_ms = sum(us for k, us in agg.items() if k.startswith("%while")) / 1e3
+        inner = {k: us for k, us in agg.items() if not k.startswith("%while")}
         total = sum(inner.values())
         print(f"\ndevice op time ({total/1e3:.2f} ms total across {args.iters}"
-              f" iters; scan span %while={agg.get('%while', 0)/1e3:.2f} ms"
+              f" iters; scan span %while={while_ms:.2f} ms"
               " contains the rest and is excluded):")
-        for k, us in sorted(inner.items(), key=lambda kv: -kv[1])[:25]:
+        for k, us in sorted(inner.items(), key=lambda kv: -kv[1])[:40 if args.by_name else 25]:
             print(f"  {us/1e3:9.3f} ms  {100*us/total:5.1f}%  n={n[k]:7d}  {k}")
 
 

@@ -61,8 +61,8 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     p.add_argument("--pretf", default=None)
     p.add_argument("--tf", default="/tmp/silt/tf")
     p.add_argument("--no-remat", action="store_true")
-    p.add_argument("--remat-policy", choices=["pressure", "pressure+advect", "none"],
-                   default="pressure", help="what the per-step remat saves (BENCH.md A/B)")
+    p.add_argument("--remat-policy", choices=["pressure", "pressure+conv", "pressure+advect", "none"],
+                   default="pressure+conv", help="what the per-step remat saves (BENCH.md A/B)")
     p.add_argument("--advect", choices=["gather", "shift"], default="shift")
     p.add_argument("--max-shift", type=int, default=2)
     p.add_argument("--bf16", action="store_true")

@@ -93,7 +93,7 @@ class SolTrainConfig:
     adplr: bool = False
     clip_grad: bool = False
     remat: bool = True
-    remat_policy: str = "pressure"  # pressure | pressure+advect | none
+    remat_policy: str = "pressure+conv"  # pressure | pressure+conv | pressure+advect | none
     seed: int = 0
     dt: float = 1.0
     log_every: int = 50
@@ -103,7 +103,12 @@ def _remat(fn, policy_name: str = "pressure"):
     """Per-unrolled-step rematerialization. Policies:
 
     * "pressure"        — save only the pressure CG solution; recompute the
-                          cheap stencils + convs in backward (default).
+                          cheap stencils + convs in backward.
+    * "pressure+conv"   — additionally save every conv output (named in
+                          models/networks.py); the backward pass never
+                          re-runs a convolution. The convs dominate the step's
+                          device time (BENCH.md round-4 step profile), so this
+                          is the default.
     * "pressure+advect" — additionally save the semi-Lagrangian advection
                           outputs (named in ops/advection.py), skipping the
                           gather recomputation.
@@ -111,6 +116,7 @@ def _remat(fn, policy_name: str = "pressure"):
     if policy_name == "none":
         return jax.checkpoint(fn)
     names = {"pressure": ("pressure",),
+             "pressure+conv": ("pressure", "conv"),
              "pressure+advect": ("pressure", "advect")}[policy_name]
     policy = jax.checkpoint_policies.save_only_these_names(*names)
     return jax.checkpoint(fn, policy=policy)
