@@ -38,8 +38,43 @@ from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
+
+
+class Conv(nn.Conv):
+    """nn.Conv that dispatches to the fused Pallas im2col conv kernels
+    (ops/pallas/conv_kernel) when available: real TPU, hardware-validated
+    marker present, odd square K>1 kernel, working set within VMEM.
+    Parameters (HWIO "kernel" + "bias") and the flax auto-name ("Conv_N") are
+    identical to nn.Conv, so checkpoints are interchangeable between the
+    Pallas and XLA paths."""
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.pallas import conv_kernel as ck
+        ks = tuple(self.kernel_size)
+        cin = x.shape[-1]
+        if (x.ndim == 4 and self.use_bias
+                and ck.conv_available(x.shape, ks, cin, self.features)):
+            kernel = self.param("kernel", self.kernel_init,
+                                ks + (cin, self.features), self.param_dtype)
+            bias = self.param("bias", self.bias_init, (self.features,),
+                              self.param_dtype)
+            dt = self.dtype or x.dtype
+            return ck.conv_same(x.astype(dt), kernel.astype(dt), bias.astype(dt))
+        return super().__call__(x)
+
+
+def _conv(features, kernel, dtype, kinit):
+    """5x5 SAME conv whose output is remat-named "conv": under the trainer's
+    "pressure+conv" checkpoint policy every conv output is saved across the
+    msteps scan, so the backward pass never re-runs a convolution (the convs
+    are the dominant device cost of the train step — BENCH.md round-4 step
+    profile). A no-op for every other policy."""
+    conv = Conv(features, kernel, padding="SAME", dtype=dtype, kernel_init=kinit)
+    return lambda x: checkpoint_name(conv(x), "conv")
 
 
 def _conv_inits(init: str):
@@ -65,14 +100,11 @@ class Mercury(nn.Module):
     def __call__(self, x):
         kinit, out_kinit = _conv_inits(self.init_mode)
         x = x.astype(self.compute_dtype)
-        x = nn.Conv(32, (5, 5), padding="SAME", dtype=self.compute_dtype,
-                    kernel_init=kinit)(x)
+        x = _conv(32, (5, 5), self.compute_dtype, kinit)(x)
         x = nn.relu(x)
-        x = nn.Conv(64, (5, 5), padding="SAME", dtype=self.compute_dtype,
-                    kernel_init=kinit)(x)
+        x = _conv(64, (5, 5), self.compute_dtype, kinit)(x)
         x = nn.relu(x)
-        x = nn.Conv(2, (5, 5), padding="SAME", dtype=self.compute_dtype,
-                    kernel_init=out_kinit)(x)
+        x = _conv(2, (5, 5), self.compute_dtype, out_kinit)(x)
         return x.astype(jnp.float32)
 
 
@@ -86,14 +118,11 @@ class _ResBlock(nn.Module):
     def __call__(self, x):
         kinit, _ = _conv_inits(self.init_mode)
         skip = x
-        y = nn.Conv(self.features, (5, 5), padding="SAME", dtype=self.compute_dtype,
-                    kernel_init=kinit)(x)
+        y = _conv(self.features, (5, 5), self.compute_dtype, kinit)(x)
         y = nn.leaky_relu(y)
-        y = nn.Conv(self.features, (5, 5), padding="SAME", dtype=self.compute_dtype,
-                    kernel_init=kinit)(y)
+        y = _conv(self.features, (5, 5), self.compute_dtype, kinit)(y)
         if self.project:
-            skip = nn.Conv(self.features, (1, 1), padding="SAME", dtype=self.compute_dtype,
-                           kernel_init=kinit)(skip)
+            skip = _conv(self.features, (1, 1), self.compute_dtype, kinit)(skip)
         return nn.leaky_relu(skip + y)
 
 
@@ -110,14 +139,12 @@ class MarsMoon(nn.Module):
     def __call__(self, x):
         kinit, out_kinit = _conv_inits(self.init_mode)
         x = x.astype(self.compute_dtype)
-        x = nn.Conv(self.features, (5, 5), padding="SAME", dtype=self.compute_dtype,
-                    kernel_init=kinit)(x)
+        x = _conv(self.features, (5, 5), self.compute_dtype, kinit)(x)
         x = nn.leaky_relu(x)
         for _ in range(self.blocks):
             x = _ResBlock(self.features, compute_dtype=self.compute_dtype,
                           init_mode=self.init_mode)(x)
-        x = nn.Conv(self.out_channels, (5, 5), padding="SAME", dtype=self.compute_dtype,
-                    kernel_init=out_kinit)(x)
+        x = _conv(self.out_channels, (5, 5), self.compute_dtype, out_kinit)(x)
         return x.astype(jnp.float32)
 
 
@@ -132,16 +159,14 @@ class JupiterMoon(nn.Module):
     def __call__(self, x):
         kinit, out_kinit = _conv_inits(self.init_mode)
         x = x.astype(self.compute_dtype)
-        x = nn.Conv(32, (5, 5), padding="SAME", dtype=self.compute_dtype,
-                    kernel_init=kinit)(x)
+        x = _conv(32, (5, 5), self.compute_dtype, kinit)(x)
         x = nn.relu(x)
         prev = 32
         for feats in self.stage_features:
             x = _ResBlock(feats, project=(feats != prev), compute_dtype=self.compute_dtype,
                           init_mode=self.init_mode)(x)
             prev = feats
-        x = nn.Conv(2, (5, 5), padding="SAME", dtype=self.compute_dtype,
-                    kernel_init=out_kinit)(x)
+        x = _conv(2, (5, 5), self.compute_dtype, out_kinit)(x)
         return x.astype(jnp.float32)
 
 

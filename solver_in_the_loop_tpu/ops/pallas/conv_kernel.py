@@ -1,0 +1,226 @@
+"""Fused im2col KxK SAME convolution as Pallas TPU kernels (fwd + dgrad + wgrad).
+
+Motivation (BENCH.md round-4 step profile): the 12 MarsMoon convolutions are
+~31 of the 36.3 ms/iter SOL-32 train-step device time, and XLA's
+space-to-batch convolution at these shapes (B=3, 64x32 grid, 32 channels) runs
+at <10% MXU utilization. This module reformulates the convolution as one MXU
+matmul per row tile:
+
+  rows r = ((b*H + y)*W + x) flatten batch+space. For each of the K*K taps,
+  the (TM, C) block of rows r + dy*W + dx is copied into a (TM, K*K*C) VMEM
+  patch matrix P, masked to zero where x+dx / y+dy leave the image (the y mask
+  also kills cross-batch reads). Then Y_tile = P @ Wmat with
+  Wmat = w.reshape(K*K*Cin, Cout).
+
+The backward pass is two more instances of the same structure:
+
+* dX = SAME-conv of dY with the spatially-flipped, channel-transposed kernel
+  (the standard conv transpose identity) -> the forward kernel reused.
+* dW = P^T @ dY accumulated over row tiles -> one transposed-matmul kernel
+  revisiting a (K*K*Cin, Cout) output block across the grid.
+* db = sum_rows dY (left to XLA).
+
+This replaces the network-side half of what the reference delegates to
+cuDNN/TF (/root/reference/karman-2d/karman_train.py:92-138 builds the nets
+with Keras Conv2D; the hot path there is cuDNN's implicit-GEMM conv). Here the
+im2col GEMM formulation is hand-scheduled for the MXU because XLA's
+space-to-batch path is latency-bound at these tiny spatial extents.
+
+Dispatch gating follows ops/pallas/cg.py: only on real TPU, only for shapes
+whose working set fits VMEM, and only after a hardware validation marker
+(artifacts/perf/conv_ok, dropped by scripts/validate_pallas_conv.py) or an
+explicit SILT_PALLAS_CONV=1 override.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+# Toggled by tests to run kernels in interpret mode on CPU.
+_INTERPRET = False
+
+_VMEM_BUDGET_BYTES = 6 * 1024 * 1024
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _tile(M: int) -> tuple[int, int]:
+    """(TM, M_pad): row-tile height and padded row count (M_pad % TM == 0)."""
+    TM = min(512, _round_up(M, 8))
+    return TM, _round_up(M, TM)
+
+
+def _enabled() -> bool:
+    v = os.environ.get("SILT_PALLAS_CONV")
+    if v is not None:
+        return v == "1"
+    return os.path.exists(
+        os.path.join(os.path.dirname(__file__), "..", "..", "..",
+                     "artifacts", "perf", "conv_ok"))
+
+
+def conv_available(xshape, kernel_size, cin: int, cout: int) -> bool:
+    """Whether the fused conv kernels support this problem on this backend."""
+    if not _INTERPRET and jax.default_backend() != "tpu":
+        return False
+    if not _enabled() and not _INTERPRET:
+        return False
+    if len(xshape) != 4 or len(kernel_size) != 2:
+        return False
+    K = kernel_size[0]
+    if kernel_size[1] != K or K % 2 == 0 or K > 7:
+        return False  # odd square kernels only (5x5 in all the nets)
+    if K == 1:
+        return False  # 1x1 projections are plain matmuls; XLA fuses them well
+    B, H, W = xshape[:3]
+    M = B * H * W
+    TM, M_pad = _tile(M)
+    halo = (K // 2) * W + K // 2
+    cmax = max(cin, cout)
+    vmem = ((M_pad + 2 * halo) * cmax * 4       # padded input rows
+            + TM * K * K * cmax * 4             # patch scratch
+            + K * K * cmax * cmax * 4           # weight matrix
+            + TM * cmax * 4)                    # output tile
+    return vmem < _VMEM_BUDGET_BYTES
+
+
+def _fwd_kernel(xp_ref, w_ref, b_ref, y_ref, p_ref, *, TM, W, H, C, halo, K):
+    i = pl.program_id(0)
+    row0 = i * TM
+    gr = row0 + jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0)
+    x = gr % W
+    y = (gr // W) % H
+    r = K // 2
+    for tap in range(K * K):
+        dy, dx = tap // K - r, tap % K - r
+        blk = xp_ref[pl.ds(halo + row0 + dy * W + dx, TM), :]
+        valid = (x + dx >= 0) & (x + dx < W) & (y + dy >= 0) & (y + dy < H)
+        p_ref[:, tap * C:(tap + 1) * C] = jnp.where(valid, blk, 0)
+    acc = jnp.dot(p_ref[:, :], w_ref[:, :], preferred_element_type=jnp.float32)
+    y_ref[:, :] = (acc + b_ref[0, :][None, :].astype(jnp.float32)).astype(y_ref.dtype)
+
+
+def _wgrad_kernel(xp_ref, dy_ref, dw_ref, p_ref, *, TM, W, H, C, halo, K):
+    i = pl.program_id(0)
+    row0 = i * TM
+    gr = row0 + jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0)
+    x = gr % W
+    y = (gr // W) % H
+    r = K // 2
+    for tap in range(K * K):
+        dy_, dx_ = tap // K - r, tap % K - r
+        blk = xp_ref[pl.ds(halo + row0 + dy_ * W + dx_, TM), :]
+        valid = (x + dx_ >= 0) & (x + dx_ < W) & (y + dy_ >= 0) & (y + dy_ < H)
+        p_ref[:, tap * C:(tap + 1) * C] = jnp.where(valid, blk, 0)
+    # (K*K*C, Cout) partial: P^T @ dY, contracting the TM rows. Rows past the
+    # true M are garbage in P but dY is zero-padded there, so they vanish.
+    acc = jax.lax.dot_general(p_ref[:, :], dy_ref[:, :],
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_ref[:, :] = acc
+
+    @pl.when(i > 0)
+    def _accum():
+        dw_ref[:, :] += acc
+
+
+def _conv_rows(x4, w, bias):
+    """Forward via the Pallas kernel. x4 (B,H,W,Cin) -> (B,H,W,Cout)."""
+    import jax.experimental.pallas.tpu as pltpu
+
+    B, H, W, Cin = x4.shape
+    K = w.shape[0]
+    Cout = w.shape[-1]
+    M = B * H * W
+    TM, M_pad = _tile(M)
+    halo = (K // 2) * W + K // 2
+    rows = x4.reshape(M, Cin)
+    xp = jnp.pad(rows, ((halo, halo + (M_pad - M)), (0, 0)))
+    wmat = w.reshape(K * K * Cin, Cout)
+    kern = functools.partial(_fwd_kernel, TM=TM, W=W, H=H, C=Cin, halo=halo, K=K)
+    out = pl.pallas_call(
+        kern,
+        grid=(M_pad // TM,),
+        in_specs=[
+            pl.BlockSpec((M_pad + 2 * halo, Cin), lambda i: (0, 0)),
+            pl.BlockSpec((K * K * Cin, Cout), lambda i: (0, 0)),
+            pl.BlockSpec((1, Cout), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TM, Cout), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((M_pad, Cout), x4.dtype),
+        scratch_shapes=[pltpu.VMEM((TM, K * K * Cin), x4.dtype)],
+        interpret=_INTERPRET,
+    )(xp, wmat, bias.reshape(1, Cout))
+    return out[:M].reshape(B, H, W, Cout)
+
+
+def _conv_wgrad(x4, dy4, K):
+    """dW (K,K,Cin,Cout) via tile-accumulated P^T @ dY."""
+    import jax.experimental.pallas.tpu as pltpu
+
+    B, H, W, Cin = x4.shape
+    Cout = dy4.shape[-1]
+    M = B * H * W
+    TM, M_pad = _tile(M)
+    halo = (K // 2) * W + K // 2
+    xp = jnp.pad(x4.reshape(M, Cin), ((halo, halo + (M_pad - M)), (0, 0)))
+    dyp = jnp.pad(dy4.reshape(M, Cout), ((0, M_pad - M), (0, 0)))
+    kern = functools.partial(_wgrad_kernel, TM=TM, W=W, H=H, C=Cin, halo=halo, K=K)
+    dw = pl.pallas_call(
+        kern,
+        grid=(M_pad // TM,),
+        in_specs=[
+            pl.BlockSpec((M_pad + 2 * halo, Cin), lambda i: (0, 0)),
+            pl.BlockSpec((TM, Cout), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((K * K * Cin, Cout), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((K * K * Cin, Cout), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TM, K * K * Cin), x4.dtype)],
+        interpret=_INTERPRET,
+    )(xp, dyp)
+    return dw.reshape(K, K, Cin, Cout)
+
+
+@jax.custom_vjp
+def conv_same(x, w, bias):
+    """KxK SAME stride-1 NHWC convolution, fully Pallas (fwd and bwd).
+
+    Caller must have checked conv_available() — no fallback inside.
+    """
+    return _conv_rows(x, w, bias)
+
+
+def _conv_same_fwd(x, w, bias):
+    return _conv_rows(x, w, bias), (x, w)
+
+
+def _conv_same_bwd(res, dy):
+    x, w = res
+    # dX = SAME-conv of dY with the flipped, channel-transposed kernel.
+    wd = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)
+    zb = jnp.zeros((w.shape[2],), dy.dtype)
+    dx = _conv_rows(dy, wd, zb).astype(x.dtype)
+    dw = _conv_wgrad(x, dy, w.shape[0]).astype(w.dtype)
+    db = dy.sum((0, 1, 2)).astype(w.dtype)
+    return dx, dw, db
+
+
+conv_same.defvjp(_conv_same_fwd, _conv_same_bwd)
+
+
+def conv_reference(x, w, bias):
+    """XLA reference with identical math (for validation and fallback)."""
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias[None, None, None, :]

@@ -1,0 +1,73 @@
+"""Fused Pallas im2col conv (fwd + custom_vjp bwd) vs XLA conv, interpret mode.
+
+The kernel is exact (same contraction order per tap, f32 accumulation), so
+forward outputs match XLA's conv_general_dilated tightly and the hand-written
+dgrad/wgrad/bias grads must match jax.grad through the XLA reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from solver_in_the_loop_tpu.ops.pallas import conv_kernel as ck
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(ck, "_INTERPRET", True)
+
+
+def _mk(B, H, W, Cin, Cout, K=5, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(B, H, W, Cin), jnp.float32)
+    w = jnp.asarray(0.1 * rng.randn(K, K, Cin, Cout), jnp.float32)
+    b = jnp.asarray(0.01 * rng.randn(Cout), jnp.float32)
+    return x, w, b
+
+
+@pytest.mark.parametrize("shape", [
+    (3, 8, 8, 3, 32),    # input layer: single row tile
+    (3, 8, 8, 32, 2),    # output layer
+    (3, 16, 16, 32, 32), # M=768 > TM=512: two tiles, padded rows in play
+    (2, 8, 8, 8, 8, 3),  # 3x3 kernel
+])
+def test_forward_matches_xla(shape):
+    K = shape[5] if len(shape) > 5 else 5
+    x, w, b = _mk(*shape[:5], K=K)
+    y_ref = ck.conv_reference(x, w, b)
+    y_pal = ck.conv_same(x, w, b)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [
+    (3, 8, 8, 3, 8),
+    (3, 16, 16, 8, 8),   # two row tiles: exercises wgrad accumulation
+])
+def test_grads_match_xla(shape):
+    x, w, b = _mk(*shape)
+    cot = jnp.asarray(np.random.RandomState(9).randn(
+        *x.shape[:3], w.shape[-1]), jnp.float32)
+
+    def loss_pal(x, w, b):
+        return jnp.sum(ck.conv_same(x, w, b) * cot)
+
+    def loss_ref(x, w, b):
+        return jnp.sum(ck.conv_reference(x, w, b) * cot)
+
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, e, name in zip(gp, gr, ("dx", "dw", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_conv_available_gating():
+    # interpret mode bypasses the backend/marker gates; shape gates remain
+    assert ck.conv_available((3, 8, 8, 3), (5, 5), 3, 32)
+    assert not ck.conv_available((3, 8, 8, 3), (1, 1), 3, 32)   # 1x1: XLA
+    assert not ck.conv_available((3, 8, 8, 3), (4, 4), 3, 32)   # even K
+    assert not ck.conv_available((3, 8, 8, 3), (5, 3), 3, 32)   # non-square
+    # working set past the VMEM budget
+    assert not ck.conv_available((64, 128, 128, 64), (5, 5), 64, 64)
