@@ -45,10 +45,12 @@ def _bench(fn, *args, iters=200):
     return (time.perf_counter() - t0) / iters
 
 
-def check_shapes(report):
+def check_shapes(report, variant):
     from solver_in_the_loop_tpu.ops.pallas import conv_kernel as ck
 
+    os.environ["SILT_PALLAS_CONV_VARIANT"] = variant
     ok = True
+    total = 0.0
     for cin, cout in ((3, 32), (32, 32), (32, 2)):
         rng = np.random.RandomState(cin + cout)
         x = jnp.asarray(rng.randn(3, 64, 32, cin), jnp.float32)
@@ -74,14 +76,15 @@ def check_shapes(report):
         t_fr = _bench(f_ref, x, w, b)
         t_gp = _bench(g_pal, x, w, b)
         t_gr = _bench(g_ref, x, w, b)
-        line = (f"{cin:3d}->{cout:3d}: fwd err {err:.2e} grad err {gerr:.2e} "
+        line = (f"[{variant}] {cin:3d}->{cout:3d}: fwd err {err:.2e} grad err {gerr:.2e} "
                 f"[{'PASS' if good else 'FAIL'}]  "
                 f"fwd {t_fp*1e6:7.1f}us pallas vs {t_fr*1e6:7.1f}us xla "
                 f"({t_fr/t_fp:4.2f}x)  fwd+bwd {t_gp*1e6:7.1f}us vs "
                 f"{t_gr*1e6:7.1f}us ({t_gr/t_gp:4.2f}x)")
         print(line, flush=True)
         report.append(line)
-    return ok
+        total += t_fp + t_gp
+    return ok, total
 
 
 def e2e(report, iters, msteps=32):
@@ -146,10 +149,18 @@ def main() -> None:
     assert jax.default_backend() == "tpu", jax.default_backend()
 
     report = []
-    ok = check_shapes(report)
-    if not ok:
-        print("FAIL: correctness mismatch — not enabling")
-        sys.exit(1)
+    totals = {}
+    for variant in ("patch", "taps"):
+        ok, totals[variant] = check_shapes(report, variant)
+        if not ok:
+            print(f"FAIL: correctness mismatch ({variant}) — not enabling")
+            sys.exit(1)
+    winner = min(totals, key=totals.get)
+    line = (f"variant micro totals: patch {totals['patch']*1e6:.1f}us, "
+            f"taps {totals['taps']*1e6:.1f}us -> {winner}")
+    print(line, flush=True)
+    report.append(line)
+    os.environ["SILT_PALLAS_CONV_VARIANT"] = winner
     t_off, t_on = e2e(report, args.iters)
     speedup = t_off / t_on
     line = f"e2e speedup {speedup:.3f}x (off {t_off*1e3:.2f} -> on {t_on*1e3:.2f} ms/iter)"
@@ -158,8 +169,8 @@ def main() -> None:
     if speedup > 1.01 or args.force:
         os.makedirs(os.path.dirname(MARKER), exist_ok=True)
         with open(MARKER, "w") as f:
-            f.write("\n".join(report) + "\n")
-        print(f"PASS: marker dropped -> {MARKER}")
+            f.write(f"variant={winner}\n" + "\n".join(report) + "\n")
+        print(f"PASS: marker dropped -> {MARKER} (variant={winner})")
     else:
         print("correct but no e2e win — marker NOT dropped")
 

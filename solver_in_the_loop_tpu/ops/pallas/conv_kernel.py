@@ -58,13 +58,15 @@ def _tile(M: int) -> tuple[int, int]:
     return TM, _round_up(M, TM)
 
 
+_MARKER = os.path.join(os.path.dirname(__file__), "..", "..", "..",
+                       "artifacts", "perf", "conv_ok")
+
+
 def _enabled() -> bool:
     v = os.environ.get("SILT_PALLAS_CONV")
     if v is not None:
         return v == "1"
-    return os.path.exists(
-        os.path.join(os.path.dirname(__file__), "..", "..", "..",
-                     "artifacts", "perf", "conv_ok"))
+    return os.path.exists(_MARKER)
 
 
 def conv_available(xshape, kernel_size, cin: int, cout: int) -> bool:
@@ -108,6 +110,54 @@ def _fwd_kernel(xp_ref, w_ref, b_ref, y_ref, p_ref, *, TM, W, H, C, halo, K):
     y_ref[:, :] = (acc + b_ref[0, :][None, :].astype(jnp.float32)).astype(y_ref.dtype)
 
 
+def _fwd_kernel_taps(xp_ref, w_ref, b_ref, y_ref, *, TM, W, H, C, halo, K):
+    """Per-tap matmul accumulation: acc += masked_block @ w[tap]. Avoids the
+    (TM, K*K*C) patch matrix and its lane-offset writes; instead reads
+    sublane-aligned row slices of the (K*K*C, Cout) weight matrix (requires
+    C % 8 == 0 — callers pad channels)."""
+    i = pl.program_id(0)
+    row0 = i * TM
+    gr = row0 + jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0)
+    x = gr % W
+    y = (gr // W) % H
+    r = K // 2
+    acc = jnp.zeros((TM, y_ref.shape[-1]), jnp.float32)
+    for tap in range(K * K):
+        dy, dx = tap // K - r, tap % K - r
+        blk = xp_ref[pl.ds(halo + row0 + dy * W + dx, TM), :]
+        valid = (x + dx >= 0) & (x + dx < W) & (y + dy >= 0) & (y + dy < H)
+        acc += jnp.dot(jnp.where(valid, blk, 0), w_ref[pl.ds(tap * C, C), :],
+                       preferred_element_type=jnp.float32)
+    y_ref[:, :] = (acc + b_ref[0, :][None, :].astype(jnp.float32)).astype(y_ref.dtype)
+
+
+def _wgrad_kernel_taps(xp_ref, dy_ref, dw_ref, *, TM, W, H, C, halo, K):
+    """Per-tap wgrad: dw[tap] += block^T @ dY, sublane-aligned row-slice
+    accumulation into the (K*K*C, Cout) output (requires C % 8 == 0)."""
+    i = pl.program_id(0)
+    row0 = i * TM
+    gr = row0 + jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0)
+    x = gr % W
+    y = (gr // W) % H
+    r = K // 2
+    dy_blk = dy_ref[:, :]
+    for tap in range(K * K):
+        dy_, dx_ = tap // K - r, tap % K - r
+        blk = xp_ref[pl.ds(halo + row0 + dy_ * W + dx_, TM), :]
+        valid = (x + dx_ >= 0) & (x + dx_ < W) & (y + dy_ >= 0) & (y + dy_ < H)
+        part = jax.lax.dot_general(jnp.where(valid, blk, 0), dy_blk,
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+        @pl.when(i == 0)
+        def _init():
+            dw_ref[pl.ds(tap * C, C), :] = part
+
+        @pl.when(i > 0)
+        def _accum():
+            dw_ref[pl.ds(tap * C, C), :] += part
+
+
 def _wgrad_kernel(xp_ref, dy_ref, dw_ref, p_ref, *, TM, W, H, C, halo, K):
     i = pl.program_id(0)
     row0 = i * TM
@@ -135,6 +185,37 @@ def _wgrad_kernel(xp_ref, dy_ref, dw_ref, p_ref, *, TM, W, H, C, halo, K):
         dw_ref[:, :] += acc
 
 
+@functools.lru_cache(maxsize=1)
+def _marker_variant() -> str:
+    try:
+        with open(_MARKER) as f:
+            first = f.readline().strip()
+        if first.startswith("variant="):
+            return first.split("=", 1)[1]
+    except OSError:
+        pass
+    return "patch"
+
+
+def _variant() -> str:
+    """Kernel formulation: "patch" (im2col matrix then one matmul) or "taps"
+    (per-tap matmul accumulation; no patch matrix, sublane-aligned weight
+    slices). A/B'd on hardware by scripts/validate_pallas_conv.py, which
+    records the winner on the marker's first line; env overrides for A/Bs."""
+    v = os.environ.get("SILT_PALLAS_CONV_VARIANT")
+    return v if v in ("patch", "taps") else _marker_variant()
+
+
+def _pad_cin(x_rows, w, Cin: int):
+    """Zero-pad the channel axis to a multiple of 8 for the "taps" variant
+    (sublane-aligned per-tap slices of the weight matrix)."""
+    Cp = _round_up(Cin, 8)
+    if Cp != Cin:
+        x_rows = jnp.pad(x_rows, ((0, 0), (0, Cp - Cin)))
+        w = jnp.pad(w, ((0, 0), (0, 0), (0, Cp - Cin), (0, 0)))
+    return x_rows, w, Cp
+
+
 def _conv_rows(x4, w, bias):
     """Forward via the Pallas kernel. x4 (B,H,W,Cin) -> (B,H,W,Cout)."""
     import jax.experimental.pallas.tpu as pltpu
@@ -146,20 +227,25 @@ def _conv_rows(x4, w, bias):
     TM, M_pad = _tile(M)
     halo = (K // 2) * W + K // 2
     rows = x4.reshape(M, Cin)
+    taps = _variant() == "taps"
+    C = Cin
+    if taps:
+        rows, w, C = _pad_cin(rows, w, Cin)
     xp = jnp.pad(rows, ((halo, halo + (M_pad - M)), (0, 0)))
-    wmat = w.reshape(K * K * Cin, Cout)
-    kern = functools.partial(_fwd_kernel, TM=TM, W=W, H=H, C=Cin, halo=halo, K=K)
+    wmat = w.reshape(K * K * C, Cout)
+    kfn = _fwd_kernel_taps if taps else _fwd_kernel
+    kern = functools.partial(kfn, TM=TM, W=W, H=H, C=C, halo=halo, K=K)
     out = pl.pallas_call(
         kern,
         grid=(M_pad // TM,),
         in_specs=[
-            pl.BlockSpec((M_pad + 2 * halo, Cin), lambda i: (0, 0)),
-            pl.BlockSpec((K * K * Cin, Cout), lambda i: (0, 0)),
+            pl.BlockSpec((M_pad + 2 * halo, C), lambda i: (0, 0)),
+            pl.BlockSpec((K * K * C, Cout), lambda i: (0, 0)),
             pl.BlockSpec((1, Cout), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((TM, Cout), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((M_pad, Cout), x4.dtype),
-        scratch_shapes=[pltpu.VMEM((TM, K * K * Cin), x4.dtype)],
+        scratch_shapes=[] if taps else [pltpu.VMEM((TM, K * K * C), x4.dtype)],
         interpret=_INTERPRET,
     )(xp, wmat, bias.reshape(1, Cout))
     return out[:M].reshape(B, H, W, Cout)
@@ -174,22 +260,31 @@ def _conv_wgrad(x4, dy4, K):
     M = B * H * W
     TM, M_pad = _tile(M)
     halo = (K // 2) * W + K // 2
-    xp = jnp.pad(x4.reshape(M, Cin), ((halo, halo + (M_pad - M)), (0, 0)))
+    rows = x4.reshape(M, Cin)
+    taps = _variant() == "taps"
+    C = Cin
+    if taps:
+        Cp = _round_up(Cin, 8)
+        if Cp != Cin:
+            rows = jnp.pad(rows, ((0, 0), (0, Cp - Cin)))
+        C = Cp
+    xp = jnp.pad(rows, ((halo, halo + (M_pad - M)), (0, 0)))
     dyp = jnp.pad(dy4.reshape(M, Cout), ((0, M_pad - M), (0, 0)))
-    kern = functools.partial(_wgrad_kernel, TM=TM, W=W, H=H, C=Cin, halo=halo, K=K)
+    kfn = _wgrad_kernel_taps if taps else _wgrad_kernel
+    kern = functools.partial(kfn, TM=TM, W=W, H=H, C=C, halo=halo, K=K)
     dw = pl.pallas_call(
         kern,
         grid=(M_pad // TM,),
         in_specs=[
-            pl.BlockSpec((M_pad + 2 * halo, Cin), lambda i: (0, 0)),
+            pl.BlockSpec((M_pad + 2 * halo, C), lambda i: (0, 0)),
             pl.BlockSpec((TM, Cout), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((K * K * Cin, Cout), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((K * K * Cin, Cout), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((TM, K * K * Cin), x4.dtype)],
+        out_specs=pl.BlockSpec((K * K * C, Cout), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((K * K * C, Cout), jnp.float32),
+        scratch_shapes=[] if taps else [pltpu.VMEM((TM, K * K * C), x4.dtype)],
         interpret=_INTERPRET,
     )(xp, dyp)
-    return dw.reshape(K, K, Cin, Cout)
+    return dw.reshape(K, K, C, Cout)[:, :, :Cin, :]
 
 
 @jax.custom_vjp

@@ -13,9 +13,10 @@ import pytest
 from solver_in_the_loop_tpu.ops.pallas import conv_kernel as ck
 
 
-@pytest.fixture(autouse=True)
-def _interpret(monkeypatch):
+@pytest.fixture(autouse=True, params=["patch", "taps"])
+def _interpret(monkeypatch, request):
     monkeypatch.setattr(ck, "_INTERPRET", True)
+    monkeypatch.setenv("SILT_PALLAS_CONV_VARIANT", request.param)
 
 
 def _mk(B, H, W, Cin, Cout, K=5, seed=0):
