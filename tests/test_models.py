@@ -134,3 +134,23 @@ def test_nonzero_channel_mean():
     data[1, 1, 1, 0] = 4.0
     m = nonzero_channel_mean(data)
     np.testing.assert_allclose(m, [3.0, 0.0])
+
+
+def test_conv_dispatch_pallas_xla_checkpoint_interchangeable(monkeypatch):
+    """models.networks.Conv dispatches to the Pallas kernels without changing
+    the param tree or the output: a checkpoint produced on the XLA path must
+    load and evaluate identically on the Pallas path (and vice versa)."""
+    import numpy as np
+    from solver_in_the_loop_tpu.ops.pallas import conv_kernel as ck
+
+    model = build_model("mars_moon")
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 8, 8, 3), jnp.float32)
+    monkeypatch.setattr(ck, "_INTERPRET", False)  # conv_available False on CPU
+    params = model.init(jax.random.PRNGKey(0), x)
+    y_xla = model.apply(params, x)
+    monkeypatch.setattr(ck, "_INTERPRET", True)   # force the Pallas path
+    for variant in ("patch", "taps"):
+        monkeypatch.setenv("SILT_PALLAS_CONV_VARIANT", variant)
+        y_pal = model.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_xla),
+                                   rtol=1e-5, atol=1e-5, err_msg=variant)
