@@ -373,4 +373,133 @@ run_stage final_bench -V runs/bench_queue.json -- bash -c '
   python bench.py | tee runs/bench_queue.json
   cp -f runs/bench_queue.json artifacts/ 2>/dev/null; true'
 
+
+# ===================== round 4b: LeakyReLU-alpha-0.3 parity re-campaign =====
+# networks.py round-4b parity fixes: LeakyReLU alpha = 0.3 (the Keras default
+# the reference inherits, karman_train.py:105; rounds 1-4a used jax's 0.01)
+# and the reference-exact jupiter_moon block (conv5x5+ReLU -> conv3x3 ->
+# projected skip -> LeakyReLU, burgers_train_pre.py:343-369). The trainer CLI
+# defaults changed, so every learned table row retrains at the new default;
+# the alpha=0.01 campaign is archived to results_full_workload/r4a_alpha001/.
+# Source-solver rows have no model and carry over unchanged.
+
+run_stage conv_validate -T 3600 -V artifacts/perf/conv_validate.log -- bash -c '
+  mkdir -p artifacts/perf
+  python -u scripts/validate_pallas_conv.py --iters 30 2>&1 | tee artifacts/perf/conv_validate.log'
+
+run_stage a3_archive -V results_full_workload/r4a_alpha001/eval100_sol32_re3840000.json -- bash -c '
+  mkdir -p results_full_workload/r4a_alpha001
+  cp -f results_full_workload/eval*.json results_full_workload/r4a_alpha001/'
+
+# -------- karman headline: SOL-32 + NON
+train_stage a3_k_sol32 karman-fdt-sol32-a3/tf k_gen_train -- \
+  $PY karman-train --tf karman-fdt-sol32-a3/tf --log karman-fdt-sol32-a3/tf/run.log \
+      --epochs 100 --lr 0.0001 -l 100 -t 500 -s 4 -m 32 -n 6 -b 3 --seed 0 \
+      --train karman-fdt-hires-set
+
+run_stage a3_k_sol32_test -V karman-fdt-sol32-a3/run_test/sim_000004/velTf_000499.npz a3_k_sol32 k_gen_test -- bash -c '
+  source scripts/round2_queue_lib.sh
+  k_run_test karman-fdt-sol32-a3/run_test karman-fdt-sol32-a3/tf/model.msgpack karman-fdt-sol32-a3/tf/dataStats.json'
+run_stage a3_k_eval_sol32 a3_k_sol32_test a3_archive -- \
+  python scripts/cpu_eval_batch.py k_eval sol32 karman-fdt-sol32-a3/run_test
+
+train_stage a3_k_non karman-fdt-non-a3/tf k_gen_train -- \
+  $PY karman-train --tf karman-fdt-non-a3/tf --log karman-fdt-non-a3/tf/run.log \
+      --epochs 100 --lr 0.0001 -l 100 -t 500 -s 4 -m 1 -n 6 -b 3 --seed 0 \
+      --train karman-fdt-hires-set --skip-ds
+run_stage a3_k_non_test -V karman-fdt-non-a3/run_test/sim_000004/velTf_000499.npz a3_k_non k_gen_test -- bash -c '
+  source scripts/round2_queue_lib.sh
+  k_run_test karman-fdt-non-a3/run_test karman-fdt-non-a3/tf/model.msgpack karman-fdt-non-a3/tf/dataStats.json'
+run_stage a3_k_eval_non a3_k_non_test a3_archive -- \
+  python scripts/cpu_eval_batch.py k_eval non karman-fdt-non-a3/run_test
+
+# -------- burgers: SOL-04 + NON
+train_stage a3_b_sol04 burgers-fdt-sol04-a3/tf b_gen_train -- \
+  $PY burgers-train --tf burgers-fdt-sol04-a3/tf --log burgers-fdt-sol04-a3/tf/run.log \
+      --epochs 100 --lr 0.0001 --dt 0.1 -t 200 -s 4 -m 4 -n 10 -b 5 --seed 0 \
+      --train burgers-fdt-hires-set
+run_stage a3_b_sol04_test -V burgers-fdt-sol04-a3/run_test/sim_000004/velTf_000199.npz a3_b_sol04 b_gen_test -- bash -c '
+  source scripts/round2_queue_lib.sh
+  b_run_test burgers-fdt-sol04-a3/run_test burgers-fdt-sol04-a3/tf/model.msgpack burgers-fdt-sol04-a3/tf/dataStats.json'
+run_stage a3_b_eval_sol04 a3_b_sol04_test a3_archive -- \
+  python scripts/cpu_eval_batch.py b_eval sol04 burgers-fdt-sol04-a3/run_test
+
+train_stage a3_b_non burgers-fdt-non-a3/tf b_gen_train -- \
+  $PY burgers-train --tf burgers-fdt-non-a3/tf --log burgers-fdt-non-a3/tf/run.log \
+      --epochs 100 --lr 0.0001 --dt 0.1 -t 200 -s 4 -m 1 -n 10 -b 5 --seed 0 \
+      --train burgers-fdt-hires-set --skip-ds
+run_stage a3_b_non_test -V burgers-fdt-non-a3/run_test/sim_000004/velTf_000199.npz a3_b_non b_gen_test -- bash -c '
+  source scripts/round2_queue_lib.sh
+  b_run_test burgers-fdt-non-a3/run_test burgers-fdt-non-a3/tf/model.msgpack burgers-fdt-non-a3/tf/dataStats.json'
+run_stage a3_b_eval_non a3_b_non_test a3_archive -- \
+  python scripts/cpu_eval_batch.py b_eval non burgers-fdt-non-a3/run_test
+
+# -------- karman SOL-08 (tf2 Makefile variant)
+train_stage a3_k_sol08 karman-fdt-sol08-a3/tf k_gen_train -- \
+  $PY karman-train --tf karman-fdt-sol08-a3/tf --log karman-fdt-sol08-a3/tf/run.log \
+      --epochs 100 --lr 0.0001 -l 100 -t 500 -s 4 -m 8 -n 6 -b 3 --seed 0 \
+      --train karman-fdt-hires-set
+run_stage a3_k_sol08_test -V karman-fdt-sol08-a3/run_test/sim_000004/velTf_000499.npz a3_k_sol08 k_gen_test -- bash -c '
+  source scripts/round2_queue_lib.sh
+  k_run_test karman-fdt-sol08-a3/run_test karman-fdt-sol08-a3/tf/model.msgpack karman-fdt-sol08-a3/tf/dataStats.json'
+run_stage a3_k_eval_sol08 a3_k_sol08_test a3_archive -- \
+  python scripts/cpu_eval_batch.py k_eval sol08 karman-fdt-sol08-a3/run_test
+
+# -------- PRE family (correction datasets are model-free: reused as-is)
+train_stage a3_k_pre karman-fdt-pre-a3/tf k_gen_train -- \
+  $PY karman-pre-train -o karman-fdt-pre-a3/tf --seed 0 --val 0.05 --epochs 400 --augment \
+      'karman-fdt-pre-set/sim_0*/'
+run_stage a3_k_pre_test -V karman-fdt-pre-a3/run_test/sim_000004/velTf_000499.npz a3_k_pre k_gen_test -- bash -c '
+  source scripts/round2_queue_lib.sh; pre_run_test karman-fdt-pre-a3/run_test karman-fdt-pre-a3/tf'
+run_stage a3_k_eval_pre a3_k_pre_test a3_archive -- \
+  python scripts/cpu_eval_batch.py k_eval pre karman-fdt-pre-a3/run_test
+
+train_stage a3_k_presr karman-fdt-presr-a3/tf k_presr_sim5 -- \
+  $PY karman-pre-train -o karman-fdt-presr-a3/tf --seed 0 --val 0.05 --epochs 400 --augment \
+      'karman-fdt-presr-set/sim_0*/'
+run_stage a3_k_presr_test -V karman-fdt-presr-a3/run_test/sim_000004/velTf_000499.npz a3_k_presr k_gen_test -- bash -c '
+  source scripts/round2_queue_lib.sh; pre_run_test karman-fdt-presr-a3/run_test karman-fdt-presr-a3/tf'
+run_stage a3_k_eval_presr a3_k_presr_test a3_archive -- \
+  python scripts/cpu_eval_batch.py k_eval presr karman-fdt-presr-a3/run_test
+
+train_stage a3_b_pre burgers-fdt-pre-a3/tf b_pre_sim9 -- \
+  $PY burgers-pre-train -o burgers-fdt-pre-a3/tf --seed 0 --val 0.05 --epochs 400 \
+      'burgers-fdt-pre-set/sim_0*/'
+run_stage a3_b_pre_test -V burgers-fdt-pre-a3/run_test/sim_000004/velTf_000199.npz a3_b_pre b_gen_test -- bash -c '
+  source scripts/round2_queue_lib.sh
+  rm -rf burgers-fdt-pre-a3/run_test
+  for i in 0 1 2 3 4; do
+    sim=$(printf "%06d" $i)
+    $PY burgers-pre-apply -o burgers-fdt-pre-a3/run_test \
+        --stats burgers-fdt-pre-a3/tf/stats.json --model burgers-fdt-pre-a3/tf/model.msgpack \
+        --initvH burgers-fdt-hires-testset/sim_$sim/velo_000000.npz \
+        --loadfH "burgers-fdt-hires-testset/sim_$sim/forc_0*.npz" \
+        -d 4 -r 32 -l 32 --dt 0.1 -t 200 || exit 1
+  done'
+run_stage a3_b_eval_pre a3_b_pre_test a3_archive -- \
+  python scripts/cpu_eval_batch.py b_eval pre burgers-fdt-pre-a3/run_test
+
+# -------- bonus: jupiter_moon (now the reference-exact architecture)
+train_stage a3_b_pre_jm burgers-fdt-pre-jm-a3/tf b_pre_sim9 -- \
+  $PY burgers-pre-train -o burgers-fdt-pre-jm-a3/tf --model jupiter_moon \
+      --seed 0 --val 0.05 --epochs 400 'burgers-fdt-pre-set/sim_0*/'
+run_stage a3_b_pre_jm_test -V burgers-fdt-pre-jm-a3/run_test/sim_000004/velTf_000199.npz a3_b_pre_jm b_gen_test -- bash -c '
+  source scripts/round2_queue_lib.sh
+  rm -rf burgers-fdt-pre-jm-a3/run_test
+  for i in 0 1 2 3 4; do
+    sim=$(printf "%06d" $i)
+    $PY burgers-pre-apply -o burgers-fdt-pre-jm-a3/run_test --arch jupiter_moon \
+        --stats burgers-fdt-pre-jm-a3/tf/stats.json --model burgers-fdt-pre-jm-a3/tf/model.msgpack \
+        --initvH burgers-fdt-hires-testset/sim_$sim/velo_000000.npz \
+        --loadfH "burgers-fdt-hires-testset/sim_$sim/forc_0*.npz" \
+        -d 4 -r 32 -l 32 --dt 0.1 -t 200 || exit 1
+  done'
+run_stage a3_b_eval_pre_jm a3_b_pre_jm_test a3_archive -- \
+  python scripts/cpu_eval_batch.py b_eval prejm burgers-fdt-pre-jm-a3/run_test
+
+# -------- final bench (post-conv-kernel decision)
+run_stage a3_final_bench -V runs/bench_a3.json -- bash -c '
+  python bench.py | tee runs/bench_a3.json
+  cp -f runs/bench_a3.json artifacts/ 2>/dev/null; true'
+
 note "QUEUE COMPLETE"

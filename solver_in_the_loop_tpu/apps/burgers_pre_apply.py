@@ -33,6 +33,9 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--model", required=True)
     p.add_argument("--stats", required=True, help="stats.json from PRE training")
+    p.add_argument("--leaky-alpha", type=float, default=None,
+                   help="override the LeakyReLU slope (default: the value "
+                        "recorded in the stats json; 0.01 if absent)")
     p.add_argument("--arch", default="mars_moon")
     p.add_argument("-t", "--simsteps", type=int, default=200)
     p.add_argument("-r", "--res", type=int, default=32)
@@ -44,6 +47,17 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     p.add_argument("--advect", choices=["gather", "shift"], default="shift")
     p.add_argument("--max-shift", type=int, default=2)
     return p
+
+
+def _leaky(args, stats) -> float:
+    """LeakyReLU slope for rebuilding a trained model: explicit --leaky-alpha
+    wins, else the slope recorded at train time (dataStats/stats json
+    "leaky_alpha"); absent means a pre-round-4-fix checkpoint trained at the
+    jax default 0.01 (the reference Keras default is 0.3, karman_train.py:105).
+    """
+    if getattr(args, "leaky_alpha", None) is not None:
+        return args.leaky_alpha
+    return float(stats.get("leaky_alpha", 0.01))
 
 
 def run(args):
@@ -76,7 +90,7 @@ def run(args):
                    if stats.get("nozerocen") else None),
     )
 
-    model = build_model(args.arch)
+    model = build_model(args.arch, leaky_slope=_leaky(args, stats))
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, dom.ny, dom.nx, 4)))
     params, _ = ckpt.load_checkpoint(args.model, params)
 

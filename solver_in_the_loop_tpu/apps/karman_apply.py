@@ -34,6 +34,9 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--model", required=True, help="trained checkpoint (msgpack)")
     p.add_argument("--stats", required=True, help="dataStats.json from training")
+    p.add_argument("--leaky-alpha", type=float, default=None,
+                   help="override the LeakyReLU slope (default: the value "
+                        "recorded in the stats json; 0.01 if absent)")
     p.add_argument("--arch", default="mars_moon")
     p.add_argument("-t", "--simsteps", type=int, default=500)
     p.add_argument("-r", "--res", type=int, default=32)
@@ -66,6 +69,17 @@ def load_initial(args, dom, batch):
     return initial_state(dom, batch)
 
 
+def _leaky(args, stats) -> float:
+    """LeakyReLU slope for rebuilding a trained model: explicit --leaky-alpha
+    wins, else the slope recorded at train time (dataStats/stats json
+    "leaky_alpha"); absent means a pre-round-4-fix checkpoint trained at the
+    jax default 0.01 (the reference Keras default is 0.3, karman_train.py:105).
+    """
+    if getattr(args, "leaky_alpha", None) is not None:
+        return args.leaky_alpha
+    return float(stats.get("leaky_alpha", 0.01))
+
+
 def run(args):
     dom = karman_domain(args.res, args.len)
     flow = KarmanFlow(dom, advection=args.advect, max_shift=args.max_shift,
@@ -80,7 +94,7 @@ def run(args):
     params = None
     model_apply = None
     if not args.no_model:
-        model = build_model(args.arch)
+        model = build_model(args.arch, leaky_slope=_leaky(args, stats))
         feat = jnp.zeros((batch, dom.ny, dom.nx, 3))
         params = model.init(jax.random.PRNGKey(0), feat)
         params, _ = ckpt.load_checkpoint(args.model, params)

@@ -73,6 +73,9 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
                    default="pressure+conv", help="what the per-step remat saves (BENCH.md A/B)")
     p.add_argument("--advect", choices=["gather", "shift"], default="shift")
     p.add_argument("--max-shift", type=int, default=2)
+    p.add_argument("--leaky-alpha", type=float, default=0.3,
+                   help="LeakyReLU negative slope (Keras default 0.3, "
+                        "karman_train.py:105; rounds 1-4a trained at 0.01)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 network compute")
     p.add_argument("--dp", action="store_true", help="shard the batch over all devices")
     p.add_argument("--ptol", type=float, default=1e-5, help="pressure CG tolerance")
@@ -101,6 +104,8 @@ def run(args):
     stats = dict(data_np.stats)
     if args.resume > 0:
         stats = ckpt.load_stats(args.tf)
+        # resume with the slope the run was started with (absent = pre-fix 0.01)
+        args.leaky_alpha = stats.get("leaky_alpha", 0.01)
     if args.pretf is not None:
         import json, os
         with open(os.path.join(os.path.dirname(args.pretf), "stats.json")) as f:
@@ -128,8 +133,9 @@ def run(args):
         adplr=args.adplr, clip_grad=args.clip_grad, remat=not args.no_remat, remat_policy=args.remat_policy,
         seed=args.seed,
     )
+    stats["leaky_alpha"] = args.leaky_alpha  # apply CLIs rebuild with this
     model = build_model(args.model, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-                        init=args.init)
+                        init=args.init, leaky_slope=args.leaky_alpha)
     feat_shape = (args.sbatch, res_y, res_x, 3)
     params = model.init(jax.random.PRNGKey(args.seed), jnp.zeros(feat_shape))
     log.info("model %s: %d params", args.model, ckpt.param_count(params))

@@ -54,6 +54,9 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
                    help="standardize subtracting the nonzero-masked channel mean "
                         "instead of zero-centered (karman_train_pre.py:220-221)")
     p.add_argument("--nostats", action="store_true", help="skip histogram PDF plots")
+    p.add_argument("--leaky-alpha", type=float, default=0.3,
+                   help="LeakyReLU negative slope (Keras default 0.3; "
+                        "rounds 1-4a trained at 0.01)")
     p.add_argument("--resume", type=int, default=-1,
                    help="resume from model_epochNNNN.msgpack, replaying the "
                         "data/lr schedule of the skipped epochs")
@@ -196,6 +199,7 @@ def run(args, scenario: str = "karman"):
         "ext.std": float(in_std[2]) if scenario == "karman" else 0.0,
         "scenario": scenario,
         "nsigma": args.nsigma,
+        "leaky_alpha": args.leaky_alpha,
     }
     os.makedirs(args.opath, exist_ok=True)
     with open(os.path.join(args.opath, "stats.json"), "w") as f:
@@ -218,7 +222,7 @@ def run(args, scenario: str = "karman"):
     else:
         flip_signs = np.ones(tr_in.shape[-1] + 2, np.float32)
 
-    model = build_model(args.model)
+    model = build_model(args.model, leaky_slope=args.leaky_alpha)
     params = model.init(jax.random.PRNGKey(args.seed), jnp.zeros((1,) + tr_in.shape[1:]))
     log.info("model %s: %d params", args.model, ckpt.param_count(params))
 

@@ -7,9 +7,16 @@ Exact architecture parity with the reference (SURVEY.md §2.3):
 * MarsMoon — conv5x5(32)+LeakyReLU stem, 5 residual blocks
   [conv5x5(32) LeakyReLU conv5x5(32) + skip, LeakyReLU], conv5x5(2) head;
   ~570k params (/root/reference/karman-2d/karman_train.py:101-138)
-* JupiterMoon — stem conv5x5(32) ReLU; res-blocks 2@32, 2@64 (1x1 projection
-  on width change), 2@32 (1x1 projection), head conv5x5(2)
+* JupiterMoon — stem conv5x5(32) ReLU; blocks [conv5x5(F) ReLU -> conv3x3(F)
+  linear -> skip add (1x1 projection on width change) -> LeakyReLU]: 2@32,
+  2@64, 2@32; head conv5x5(2); 401,730 params
   (/root/reference/burgers/burgers_train_pre.py:343-369)
+
+Every LeakyReLU uses the Keras default alpha=0.3 the reference inherits
+(keras.layers.LeakyReLU(), karman_train.py:105). Rounds 1-4a accidentally
+used the jax default 0.01; checkpoints from those rounds record
+leaky_alpha=0.01 in their stats json and the apply CLIs rebuild them at that
+slope (--leaky-alpha overrides).
 
 Inputs are normalized collocated features (B, Y, X, C) with C=3 for karman
 [v, u, Re] or C=4 for burgers [v, u, fv, fu]; outputs (B, Y, X, 2) = [dv, du].
@@ -109,21 +116,25 @@ class Mercury(nn.Module):
 
 
 class _ResBlock(nn.Module):
+    """mars_moon residual block: conv5x5 -> LeakyReLU -> conv5x5 -> skip-add
+    -> LeakyReLU (/root/reference/karman-2d/karman_train.py:107-111)."""
+
     features: int
     project: bool = False  # 1x1 projection on the skip when width changes
     compute_dtype: Dtype = jnp.float32
     init_mode: str = "zero"
+    leaky_slope: float = 0.3
 
     @nn.compact
     def __call__(self, x):
         kinit, _ = _conv_inits(self.init_mode)
         skip = x
         y = _conv(self.features, (5, 5), self.compute_dtype, kinit)(x)
-        y = nn.leaky_relu(y)
+        y = nn.leaky_relu(y, self.leaky_slope)
         y = _conv(self.features, (5, 5), self.compute_dtype, kinit)(y)
         if self.project:
             skip = _conv(self.features, (1, 1), self.compute_dtype, kinit)(skip)
-        return nn.leaky_relu(skip + y)
+        return nn.leaky_relu(skip + y, self.leaky_slope)
 
 
 class MarsMoon(nn.Module):
@@ -134,26 +145,53 @@ class MarsMoon(nn.Module):
     out_channels: int = 2
     compute_dtype: Dtype = jnp.float32
     init_mode: str = "zero"
+    leaky_slope: float = 0.3
 
     @nn.compact
     def __call__(self, x):
         kinit, out_kinit = _conv_inits(self.init_mode)
         x = x.astype(self.compute_dtype)
         x = _conv(self.features, (5, 5), self.compute_dtype, kinit)(x)
-        x = nn.leaky_relu(x)
+        x = nn.leaky_relu(x, self.leaky_slope)
         for _ in range(self.blocks):
             x = _ResBlock(self.features, compute_dtype=self.compute_dtype,
-                          init_mode=self.init_mode)(x)
+                          init_mode=self.init_mode,
+                          leaky_slope=self.leaky_slope)(x)
         x = _conv(self.out_channels, (5, 5), self.compute_dtype, out_kinit)(x)
         return x.astype(jnp.float32)
 
 
+class _JupiterBlock(nn.Module):
+    """jupiter_moon residual block — distinct from _ResBlock: conv5x5 with
+    fused ReLU -> conv3x3 (linear) -> skip-add (1x1 projection on width
+    change) -> LeakyReLU (/root/reference/burgers/burgers_train_pre.py:348-367)."""
+
+    features: int
+    project: bool = False
+    compute_dtype: Dtype = jnp.float32
+    init_mode: str = "zero"
+    leaky_slope: float = 0.3
+
+    @nn.compact
+    def __call__(self, x):
+        kinit, _ = _conv_inits(self.init_mode)
+        skip = x
+        y = _conv(self.features, (5, 5), self.compute_dtype, kinit)(x)
+        y = nn.relu(y)
+        y = _conv(self.features, (3, 3), self.compute_dtype, kinit)(y)
+        if self.project:
+            skip = _conv(self.features, (1, 1), self.compute_dtype, kinit)(skip)
+        return nn.leaky_relu(skip + y, self.leaky_slope)
+
+
 class JupiterMoon(nn.Module):
-    """Burgers PRE 3-stage ResNet (32 -> 64 -> 32 with 1x1 projections)."""
+    """Burgers PRE 3-stage ResNet (32 -> 64 -> 32 with 1x1 projections),
+    reference-exact blocks (/root/reference/burgers/burgers_train_pre.py:343-369)."""
 
     stage_features: Sequence[int] = (32, 32, 64, 64, 32, 32)
     compute_dtype: Dtype = jnp.float32
     init_mode: str = "zero"
+    leaky_slope: float = 0.3
 
     @nn.compact
     def __call__(self, x):
@@ -163,8 +201,10 @@ class JupiterMoon(nn.Module):
         x = nn.relu(x)
         prev = 32
         for feats in self.stage_features:
-            x = _ResBlock(feats, project=(feats != prev), compute_dtype=self.compute_dtype,
-                          init_mode=self.init_mode)(x)
+            x = _JupiterBlock(feats, project=(feats != prev),
+                              compute_dtype=self.compute_dtype,
+                              init_mode=self.init_mode,
+                              leaky_slope=self.leaky_slope)(x)
             prev = feats
         x = _conv(2, (5, 5), self.compute_dtype, out_kinit)(x)
         return x.astype(jnp.float32)
@@ -174,14 +214,21 @@ _MODELS = {"mercury": Mercury, "mars_moon": MarsMoon, "jupiter_moon": JupiterMoo
 
 
 def build_model(name: str, compute_dtype: Dtype = jnp.float32,
-                init: str = "zero") -> nn.Module:
+                init: str = "zero", leaky_slope: float = 0.3) -> nn.Module:
     """Registry lookup (replaces the reference's `eval('model_%s' % name)`,
     karman_train.py:394).
 
     Library default stays init="zero" (safe without grad clipping, e.g. for
     bench/dryrun harnesses); the trainer CLIs default to init="reference"
     with clipping on — see the module docstring.
+
+    leaky_slope=0.3 is the Keras LeakyReLU() default alpha the reference
+    inherits everywhere it uses LeakyReLU (karman_train.py:105). Checkpoints
+    from before round 4's parity fix were trained at 0.01 (the jax default);
+    their dataStats.json records leaky_alpha so the apply CLIs rebuild them
+    correctly (absent key = 0.01).
     """
     if name not in _MODELS:
         raise KeyError(f"unknown model '{name}'; available: {sorted(_MODELS)}")
-    return _MODELS[name](compute_dtype=compute_dtype, init_mode=init)
+    kw = {} if name == "mercury" else {"leaky_slope": leaky_slope}
+    return _MODELS[name](compute_dtype=compute_dtype, init_mode=init, **kw)

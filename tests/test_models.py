@@ -37,11 +37,36 @@ def test_mercury_shapes():
     assert model.apply(params, x).shape == (1, 16, 16, 2)
 
 
-def test_jupiter_moon_shapes():
+def test_jupiter_moon_shapes_and_param_count():
+    """Reference-exact jupiter_moon (burgers_train_pre.py:343-369): stem
+    conv5x5(4->32)+ReLU (3,232) + blocks of [conv5x5(F) ReLU, conv3x3(F)
+    linear, 1x1-projected skip add, LeakyReLU]: 2@32 (2 x 34,880), 2@64
+    (90,304 + 139,392), 2@32 (62,560 + 34,880) + conv5x5 32->2 head (1,602)
+    = 401,730 params."""
     model = build_model("jupiter_moon")
     x = jnp.zeros((1, 16, 16, 4))
     params = model.init(jax.random.PRNGKey(0), x)
+    n = param_count(params)
+    assert n == 401_730, n
+    # the blocks' second conv is 3x3 (NOT the mars_moon 5x5)
+    shapes = jax.tree_util.tree_map(lambda a: a.shape, params)
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    assert any(a.shape[:2] == (3, 3) for _, a in flat if a.ndim == 4), shapes
     assert model.apply(params, x).shape == (1, 16, 16, 2)
+
+
+def test_leaky_slope_default_is_keras_alpha():
+    """Keras LeakyReLU() alpha = 0.3 (karman_train.py:105) is the default;
+    0.01 reproduces pre-fix (rounds 1-4a) checkpoints."""
+    assert build_model("mars_moon").leaky_slope == 0.3
+    assert build_model("jupiter_moon").leaky_slope == 0.3
+    assert build_model("mars_moon", leaky_slope=0.01).leaky_slope == 0.01
+    # the slope is live: identical params, different outputs
+    m3 = build_model("mars_moon", init="reference")
+    m1 = build_model("mars_moon", init="reference", leaky_slope=0.01)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 8, 3), jnp.float32)
+    p = m3.init(jax.random.PRNGKey(0), x)
+    assert float(jnp.max(jnp.abs(m3.apply(p, x) - m1.apply(p, x)))) > 1e-4
 
 
 def test_unknown_model_raises():
