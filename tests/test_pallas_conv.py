@@ -72,3 +72,30 @@ def test_conv_available_gating():
     assert not ck.conv_available((3, 8, 8, 3), (5, 3), 3, 32)   # non-square
     # working set past the VMEM budget
     assert not ck.conv_available((64, 128, 128, 64), (5, 5), 64, 64)
+
+
+def test_conv_under_scan_remat(monkeypatch):
+    """The production structure: conv inside a jax.checkpoint'd scan body with
+    the save_only_these_names("conv") policy (trainer remat_policy
+    "pressure+conv") — grads must match the XLA path."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    rng = np.random.RandomState(0)
+    x0 = jnp.asarray(rng.randn(2, 8, 8, 8), jnp.float32)
+    w = jnp.asarray(0.1 * rng.randn(5, 5, 8, 8), jnp.float32)
+    b = jnp.asarray(0.01 * rng.randn(8), jnp.float32)
+
+    def loss(w, b, conv):
+        def step(x, _):
+            y = checkpoint_name(conv(x, w, b), "conv")
+            return jnp.tanh(y) + 0.1 * x, jnp.sum(x ** 2)
+
+        pol = jax.checkpoint_policies.save_only_these_names("conv")
+        xf, ls = jax.lax.scan(jax.checkpoint(step, policy=pol), x0, jnp.arange(4))
+        return jnp.sum(ls) + jnp.sum(xf ** 2)
+
+    gp = jax.grad(loss, argnums=(0, 1))(w, b, ck.conv_same)
+    gr = jax.grad(loss, argnums=(0, 1))(w, b, ck.conv_reference)
+    for a, e, name in zip(gp, gr, ("dw", "db")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-3, atol=1e-3, err_msg=name)
