@@ -51,15 +51,19 @@ Dtype = Any
 
 
 class Conv(nn.Conv):
-    """nn.Conv that dispatches to the fused Pallas im2col conv kernels
-    (ops/pallas/conv_kernel) when available: real TPU, hardware-validated
-    marker present, odd square K>1 kernel, working set within VMEM.
-    Parameters (HWIO "kernel" + "bias") and the flax auto-name ("Conv_N") are
-    identical to nn.Conv, so checkpoints are interchangeable between the
-    Pallas and XLA paths."""
+    """nn.Conv with a fused epilogue (optional skip-add + activation, the
+    same fusion Keras applies via Conv2D(activation=...)) that dispatches to
+    the fused Pallas im2col conv kernels (ops/pallas/conv_kernel) when
+    available: real TPU, hardware-validated marker present, odd square K>1
+    kernel, working set within VMEM. Parameters (HWIO "kernel" + "bias") and
+    the flax auto-name ("Conv_N") are identical to nn.Conv, so checkpoints
+    are interchangeable between the Pallas and XLA paths."""
+
+    act: str = "none"  # none | relu | leaky_relu
+    act_slope: float = 0.3
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, skip=None):
         from ..ops.pallas import conv_kernel as ck
         ks = tuple(self.kernel_size)
         cin = x.shape[-1]
@@ -70,18 +74,31 @@ class Conv(nn.Conv):
             bias = self.param("bias", self.bias_init, (self.features,),
                               self.param_dtype)
             dt = self.dtype or x.dtype
-            return ck.conv_same(x.astype(dt), kernel.astype(dt), bias.astype(dt))
-        return super().__call__(x)
+            return ck.conv_fused(
+                x.astype(dt), kernel.astype(dt), bias.astype(dt),
+                None if skip is None else skip.astype(dt),
+                act=self.act, slope=self.act_slope)
+        y = super().__call__(x)
+        if skip is not None:
+            y = y + skip
+        if self.act == "relu":
+            y = nn.relu(y)
+        elif self.act == "leaky_relu":
+            y = nn.leaky_relu(y, self.act_slope)
+        return y
 
 
-def _conv(features, kernel, dtype, kinit):
-    """5x5 SAME conv whose output is remat-named "conv": under the trainer's
-    "pressure+conv" checkpoint policy every conv output is saved across the
-    msteps scan, so the backward pass never re-runs a convolution (the convs
-    are the dominant device cost of the train step — BENCH.md round-4 step
-    profile). A no-op for every other policy."""
-    conv = Conv(features, kernel, padding="SAME", dtype=dtype, kernel_init=kinit)
-    return lambda x: checkpoint_name(conv(x), "conv")
+def _conv(features, kernel, dtype, kinit, act="none", slope=0.3):
+    """SAME conv (+fused skip/activation epilogue) whose output is
+    remat-named "conv": under the trainer's "pressure+conv" checkpoint policy
+    every conv output is saved across the msteps scan, so the backward pass
+    never re-runs a convolution (the convs are the dominant device cost of
+    the train step — BENCH.md round-4 step profile). The Conv module is
+    constructed here (not at call time) so flax submodule numbering — and
+    therefore checkpoint param names — follows construction order."""
+    conv = Conv(features, kernel, padding="SAME", dtype=dtype,
+                kernel_init=kinit, act=act, act_slope=slope)
+    return lambda x, skip=None: checkpoint_name(conv(x, skip), "conv")
 
 
 def _conv_inits(init: str):
@@ -107,10 +124,8 @@ class Mercury(nn.Module):
     def __call__(self, x):
         kinit, out_kinit = _conv_inits(self.init_mode)
         x = x.astype(self.compute_dtype)
-        x = _conv(32, (5, 5), self.compute_dtype, kinit)(x)
-        x = nn.relu(x)
-        x = _conv(64, (5, 5), self.compute_dtype, kinit)(x)
-        x = nn.relu(x)
+        x = _conv(32, (5, 5), self.compute_dtype, kinit, act="relu")(x)
+        x = _conv(64, (5, 5), self.compute_dtype, kinit, act="relu")(x)
         x = _conv(2, (5, 5), self.compute_dtype, out_kinit)(x)
         return x.astype(jnp.float32)
 
@@ -128,13 +143,16 @@ class _ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         kinit, _ = _conv_inits(self.init_mode)
-        skip = x
-        y = _conv(self.features, (5, 5), self.compute_dtype, kinit)(x)
-        y = nn.leaky_relu(y, self.leaky_slope)
-        y = _conv(self.features, (5, 5), self.compute_dtype, kinit)(y)
-        if self.project:
-            skip = _conv(self.features, (1, 1), self.compute_dtype, kinit)(skip)
-        return nn.leaky_relu(skip + y, self.leaky_slope)
+        # construction order (= checkpoint param numbering): conv1, conv2, proj
+        c1 = _conv(self.features, (5, 5), self.compute_dtype, kinit,
+                   act="leaky_relu", slope=self.leaky_slope)
+        c2 = _conv(self.features, (5, 5), self.compute_dtype, kinit,
+                   act="leaky_relu", slope=self.leaky_slope)
+        proj = (_conv(self.features, (1, 1), self.compute_dtype, kinit)
+                if self.project else None)
+        y = c1(x)
+        skip = proj(x) if proj is not None else x
+        return c2(y, skip=skip)
 
 
 class MarsMoon(nn.Module):
@@ -151,8 +169,8 @@ class MarsMoon(nn.Module):
     def __call__(self, x):
         kinit, out_kinit = _conv_inits(self.init_mode)
         x = x.astype(self.compute_dtype)
-        x = _conv(self.features, (5, 5), self.compute_dtype, kinit)(x)
-        x = nn.leaky_relu(x, self.leaky_slope)
+        x = _conv(self.features, (5, 5), self.compute_dtype, kinit,
+                  act="leaky_relu", slope=self.leaky_slope)(x)
         for _ in range(self.blocks):
             x = _ResBlock(self.features, compute_dtype=self.compute_dtype,
                           init_mode=self.init_mode,
@@ -175,13 +193,14 @@ class _JupiterBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         kinit, _ = _conv_inits(self.init_mode)
-        skip = x
-        y = _conv(self.features, (5, 5), self.compute_dtype, kinit)(x)
-        y = nn.relu(y)
-        y = _conv(self.features, (3, 3), self.compute_dtype, kinit)(y)
-        if self.project:
-            skip = _conv(self.features, (1, 1), self.compute_dtype, kinit)(skip)
-        return nn.leaky_relu(skip + y, self.leaky_slope)
+        c1 = _conv(self.features, (5, 5), self.compute_dtype, kinit, act="relu")
+        c2 = _conv(self.features, (3, 3), self.compute_dtype, kinit,
+                   act="leaky_relu", slope=self.leaky_slope)
+        proj = (_conv(self.features, (1, 1), self.compute_dtype, kinit)
+                if self.project else None)
+        y = c1(x)
+        skip = proj(x) if proj is not None else x
+        return c2(y, skip=skip)
 
 
 class JupiterMoon(nn.Module):
@@ -197,8 +216,7 @@ class JupiterMoon(nn.Module):
     def __call__(self, x):
         kinit, out_kinit = _conv_inits(self.init_mode)
         x = x.astype(self.compute_dtype)
-        x = _conv(32, (5, 5), self.compute_dtype, kinit)(x)
-        x = nn.relu(x)
+        x = _conv(32, (5, 5), self.compute_dtype, kinit, act="relu")(x)
         prev = 32
         for feats in self.stage_features:
             x = _JupiterBlock(feats, project=(feats != prev),

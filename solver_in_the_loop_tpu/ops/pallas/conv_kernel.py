@@ -94,7 +94,24 @@ def conv_available(xshape, kernel_size, cin: int, cout: int) -> bool:
     return vmem < _VMEM_BUDGET_BYTES
 
 
-def _fwd_kernel(xp_ref, w_ref, b_ref, y_ref, p_ref, *, TM, W, H, C, halo, K):
+def _epilogue(acc, b_ref, skip_ref, y_ref, *, act, slope):
+    """Shared kernel tail: + bias [+ skip] -> activation -> store.
+    The activation folds into the matmul kernel what XLA would otherwise run
+    as separate elementwise fusions per conv (the reference's Keras layers
+    fuse activation into Conv2D the same way, burgers_train_pre.py:346)."""
+    acc = acc + b_ref[0, :][None, :].astype(jnp.float32)
+    if skip_ref is not None:
+        acc = acc + skip_ref[:, :].astype(jnp.float32)
+    if act == "relu":
+        acc = jnp.maximum(acc, 0)
+    elif act == "leaky_relu":
+        acc = jnp.where(acc >= 0, acc, jnp.float32(slope) * acc)
+    y_ref[:, :] = acc.astype(y_ref.dtype)
+
+
+def _fwd_kernel(xp_ref, w_ref, b_ref, *args, TM, W, H, C, halo, K,
+                act="none", slope=0.3, with_skip=False):
+    skip_ref, (y_ref, p_ref) = (args[0], args[1:]) if with_skip else (None, args)
     i = pl.program_id(0)
     row0 = i * TM
     gr = row0 + jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0)
@@ -107,14 +124,16 @@ def _fwd_kernel(xp_ref, w_ref, b_ref, y_ref, p_ref, *, TM, W, H, C, halo, K):
         valid = (x + dx >= 0) & (x + dx < W) & (y + dy >= 0) & (y + dy < H)
         p_ref[:, tap * C:(tap + 1) * C] = jnp.where(valid, blk, 0)
     acc = jnp.dot(p_ref[:, :], w_ref[:, :], preferred_element_type=jnp.float32)
-    y_ref[:, :] = (acc + b_ref[0, :][None, :].astype(jnp.float32)).astype(y_ref.dtype)
+    _epilogue(acc, b_ref, skip_ref, y_ref, act=act, slope=slope)
 
 
-def _fwd_kernel_taps(xp_ref, w_ref, b_ref, y_ref, *, TM, W, H, C, halo, K):
+def _fwd_kernel_taps(xp_ref, w_ref, b_ref, *args, TM, W, H, C, halo, K,
+                     act="none", slope=0.3, with_skip=False):
     """Per-tap matmul accumulation: acc += masked_block @ w[tap]. Avoids the
     (TM, K*K*C) patch matrix and its lane-offset writes; instead reads
     sublane-aligned row slices of the (K*K*C, Cout) weight matrix (requires
     C % 8 == 0 — callers pad channels)."""
+    skip_ref, (y_ref,) = (args[0], args[1:]) if with_skip else (None, args)
     i = pl.program_id(0)
     row0 = i * TM
     gr = row0 + jax.lax.broadcasted_iota(jnp.int32, (TM, 1), 0)
@@ -128,7 +147,7 @@ def _fwd_kernel_taps(xp_ref, w_ref, b_ref, y_ref, *, TM, W, H, C, halo, K):
         valid = (x + dx >= 0) & (x + dx < W) & (y + dy >= 0) & (y + dy < H)
         acc += jnp.dot(jnp.where(valid, blk, 0), w_ref[pl.ds(tap * C, C), :],
                        preferred_element_type=jnp.float32)
-    y_ref[:, :] = (acc + b_ref[0, :][None, :].astype(jnp.float32)).astype(y_ref.dtype)
+    _epilogue(acc, b_ref, skip_ref, y_ref, act=act, slope=slope)
 
 
 def _wgrad_kernel_taps(xp_ref, dy_ref, dw_ref, *, TM, W, H, C, halo, K):
@@ -216,8 +235,9 @@ def _pad_cin(x_rows, w, Cin: int):
     return x_rows, w, Cp
 
 
-def _conv_rows(x4, w, bias):
-    """Forward via the Pallas kernel. x4 (B,H,W,Cin) -> (B,H,W,Cout)."""
+def _conv_rows(x4, w, bias, skip=None, act="none", slope=0.3):
+    """Forward via the Pallas kernel. x4 (B,H,W,Cin) -> (B,H,W,Cout), with
+    the optional epilogue (+skip, activation) fused into the kernel."""
     import jax.experimental.pallas.tpu as pltpu
 
     B, H, W, Cin = x4.shape
@@ -234,20 +254,26 @@ def _conv_rows(x4, w, bias):
     xp = jnp.pad(rows, ((halo, halo + (M_pad - M)), (0, 0)))
     wmat = w.reshape(K * K * C, Cout)
     kfn = _fwd_kernel_taps if taps else _fwd_kernel
-    kern = functools.partial(kfn, TM=TM, W=W, H=H, C=C, halo=halo, K=K)
+    kern = functools.partial(kfn, TM=TM, W=W, H=H, C=C, halo=halo, K=K,
+                             act=act, slope=slope, with_skip=skip is not None)
+    in_specs = [
+        pl.BlockSpec((M_pad + 2 * halo, C), lambda i: (0, 0)),
+        pl.BlockSpec((K * K * C, Cout), lambda i: (0, 0)),
+        pl.BlockSpec((1, Cout), lambda i: (0, 0)),
+    ]
+    operands = [xp, wmat, bias.reshape(1, Cout)]
+    if skip is not None:
+        in_specs.append(pl.BlockSpec((TM, Cout), lambda i: (i, 0)))
+        operands.append(jnp.pad(skip.reshape(M, Cout), ((0, M_pad - M), (0, 0))))
     out = pl.pallas_call(
         kern,
         grid=(M_pad // TM,),
-        in_specs=[
-            pl.BlockSpec((M_pad + 2 * halo, C), lambda i: (0, 0)),
-            pl.BlockSpec((K * K * C, Cout), lambda i: (0, 0)),
-            pl.BlockSpec((1, Cout), lambda i: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((TM, Cout), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((M_pad, Cout), x4.dtype),
         scratch_shapes=[] if taps else [pltpu.VMEM((TM, K * K * C), x4.dtype)],
         interpret=_INTERPRET,
-    )(xp, wmat, bias.reshape(1, Cout))
+    )(*operands)
     return out[:M].reshape(B, H, W, Cout)
 
 
@@ -312,6 +338,61 @@ def _conv_same_bwd(res, dy):
 
 
 conv_same.defvjp(_conv_same_fwd, _conv_same_bwd)
+
+
+def _act_grad(act: str, slope: float, y, dy):
+    """d(activation)/dz from the POST-activation value y: both relu and
+    leaky_relu are sign-preserving, so sign(y) recovers sign(z). Matches
+    jax.nn conventions at z==0 (relu' = 0, leaky_relu' = 1)."""
+    if act == "relu":
+        return jnp.where(y > 0, dy, 0)
+    if act == "leaky_relu":
+        return jnp.where(y >= 0, dy, jnp.asarray(slope, dy.dtype) * dy)
+    return dy
+
+
+@functools.lru_cache(maxsize=None)
+def _fused(act: str, slope: float, with_skip: bool):
+    """custom_vjp'd fused conv(+skip)(+activation). One cached instance per
+    static (act, slope, with_skip) so retracing reuses the same primitive.
+    Residuals are (x, w, y): under the trainer's "pressure+conv" remat policy
+    x and y are the named-saved conv outputs, so backward recomputes nothing.
+    """
+    if with_skip:
+        @jax.custom_vjp
+        def f(x, w, b, s):
+            return _conv_rows(x, w, b, skip=s, act=act, slope=slope)
+
+        def fwd(x, w, b, s):
+            y = _conv_rows(x, w, b, skip=s, act=act, slope=slope)
+            return y, (x, w, y)
+    else:
+        @jax.custom_vjp
+        def f(x, w, b):
+            return _conv_rows(x, w, b, act=act, slope=slope)
+
+        def fwd(x, w, b):
+            y = _conv_rows(x, w, b, act=act, slope=slope)
+            return y, (x, w, y)
+
+    def bwd(res, dy):
+        x, w, y = res
+        dz = _act_grad(act, slope, y, dy)
+        wd = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)
+        dx = _conv_rows(dz, wd, jnp.zeros((w.shape[2],), dz.dtype)).astype(x.dtype)
+        dw = _conv_wgrad(x, dz, w.shape[0]).astype(w.dtype)
+        db = dz.sum((0, 1, 2)).astype(w.dtype)
+        return (dx, dw, db, dz) if with_skip else (dx, dw, db)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def conv_fused(x, w, bias, skip=None, act="none", slope=0.3):
+    """KxK SAME stride-1 NHWC convolution with the epilogue (+skip, act)
+    fused, fully Pallas fwd+bwd. Caller must have checked conv_available()."""
+    fn = _fused(act, float(slope), skip is not None)
+    return fn(x, w, bias, skip) if skip is not None else fn(x, w, bias)
 
 
 def conv_reference(x, w, bias):

@@ -99,3 +99,41 @@ def test_conv_under_scan_remat(monkeypatch):
     for a, e, name in zip(gp, gr, ("dw", "db")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    rtol=1e-3, atol=1e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("act,with_skip", [
+    ("relu", False), ("leaky_relu", False), ("leaky_relu", True), ("none", True),
+])
+def test_fused_epilogue_matches_xla(act, with_skip):
+    """conv_fused (+skip, +activation in-kernel) vs the XLA composition,
+    values and grads (incl. d/dskip)."""
+    x, w, b = _mk(3, 8, 8, 8, 8, seed=4)
+    skip = jnp.asarray(np.random.RandomState(5).randn(3, 8, 8, 8),
+                       jnp.float32) if with_skip else None
+    cot = jnp.asarray(np.random.RandomState(6).randn(3, 8, 8, 8), jnp.float32)
+    slope = 0.3
+
+    def ref(x, w, b, s):
+        y = ck.conv_reference(x, w, b)
+        if s is not None:
+            y = y + s
+        if act == "relu":
+            y = jax.nn.relu(y)
+        elif act == "leaky_relu":
+            y = jax.nn.leaky_relu(y, slope)
+        return y
+
+    def pal(x, w, b, s):
+        return ck.conv_fused(x, w, b, s, act=act, slope=slope)
+
+    args = (x, w, b, skip)
+    np.testing.assert_allclose(np.asarray(pal(*args)), np.asarray(ref(*args)),
+                               rtol=1e-5, atol=1e-5)
+    nums = (0, 1, 2, 3) if with_skip else (0, 1, 2)
+    gp = jax.grad(lambda *a: jnp.sum(pal(*a, *(() if with_skip else (None,))) * cot),
+                  argnums=nums)(*(args[:4] if with_skip else args[:3]))
+    gr = jax.grad(lambda *a: jnp.sum(ref(*a, *(() if with_skip else (None,))) * cot),
+                  argnums=nums)(*(args[:4] if with_skip else args[:3]))
+    for a, e, name in zip(gp, gr, ("dx", "dw", "db", "dskip")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
