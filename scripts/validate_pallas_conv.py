@@ -69,7 +69,22 @@ def check_shapes(report, variant):
                                  argnums=(0, 1, 2)))
         gerr = max(float(jnp.max(jnp.abs(a - e)))
                    for a, e in zip(g_pal(x, w, b), g_ref(x, w, b)))
-        good = err < 1e-3 and gerr < 5e-3
+        # fused epilogue (leaky_relu + skip) at the same shape — the form the
+        # networks actually dispatch (models/networks.Conv)
+        skip = jnp.asarray(rng.randn(3, 64, 32, cout), jnp.float32)
+        e_pal = jax.jit(lambda x, w, b, s: ck.conv_fused(
+            x, w, b, s, act="leaky_relu", slope=0.3))
+        e_ref = jax.jit(lambda x, w, b, s: jax.nn.leaky_relu(
+            ck.conv_reference(x, w, b) + s, 0.3))
+        eerr = float(jnp.max(jnp.abs(e_pal(x, w, b, skip) - e_ref(x, w, b, skip))))
+        ge_pal = jax.jit(jax.grad(
+            lambda *a: jnp.sum(e_pal(*a) * cot), argnums=(0, 1, 2, 3)))
+        ge_ref = jax.jit(jax.grad(
+            lambda *a: jnp.sum(e_ref(*a) * cot), argnums=(0, 1, 2, 3)))
+        geerr = max(float(jnp.max(jnp.abs(a - e)))
+                    for a, e in zip(ge_pal(x, w, b, skip), ge_ref(x, w, b, skip)))
+
+        good = err < 1e-3 and gerr < 5e-3 and eerr < 1e-3 and geerr < 5e-3
         ok &= good
 
         t_fp = _bench(f_pal, x, w, b)
@@ -77,7 +92,7 @@ def check_shapes(report, variant):
         t_gp = _bench(g_pal, x, w, b)
         t_gr = _bench(g_ref, x, w, b)
         line = (f"[{variant}] {cin:3d}->{cout:3d}: fwd err {err:.2e} grad err {gerr:.2e} "
-                f"[{'PASS' if good else 'FAIL'}]  "
+                f"epi err {eerr:.2e}/{geerr:.2e} [{'PASS' if good else 'FAIL'}]  "
                 f"fwd {t_fp*1e6:7.1f}us pallas vs {t_fr*1e6:7.1f}us xla "
                 f"({t_fr/t_fp:4.2f}x)  fwd+bwd {t_gp*1e6:7.1f}us vs "
                 f"{t_gr*1e6:7.1f}us ({t_gr/t_gp:4.2f}x)")
