@@ -30,6 +30,12 @@ Dispatch gating follows ops/pallas/cg.py: only on real TPU, only for shapes
 whose working set fits VMEM, and only after a hardware validation marker
 (artifacts/perf/conv_ok, dropped by scripts/validate_pallas_conv.py) or an
 explicit SILT_PALLAS_CONV=1 override.
+
+Multi-device note: under --dp GSPMD treats the tpu_custom_call as replicated,
+so a batch-sharded input would be all-gathered around it. Correct but not
+the intended layout — conv_available therefore returns False whenever more
+than one device is visible; sharded multi-chip training keeps the XLA conv.
+The single-chip headline path (the benched workload) is unaffected.
 """
 
 from __future__ import annotations
@@ -73,6 +79,8 @@ def conv_available(xshape, kernel_size, cin: int, cout: int) -> bool:
     """Whether the fused conv kernels support this problem on this backend."""
     if not _INTERPRET and jax.default_backend() != "tpu":
         return False
+    if not _INTERPRET and jax.device_count() > 1:
+        return False  # GSPMD would all-gather around the custom call (see above)
     if not _enabled() and not _INTERPRET:
         return False
     if len(xshape) != 4 or len(kernel_size) != 2:
