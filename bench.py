@@ -26,6 +26,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -285,5 +288,79 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def wait_for_tpu(budget_s: float = 1500.0, probe_timeout: int = 300) -> bool:
+    """Block until the TPU backend answers, or the retry budget runs out.
+
+    The axon tunnel stalls fresh processes for minutes after an outage or
+    after another process releases the chip (CLAUDE.md); round 4 lost its
+    driver bench capture to an instant `Unable to initialize backend` failure
+    (VERDICT r4 weak #1).  Probe in subprocesses (backend init failure is
+    cached per-process in jax) with long timeouts and loop.
+    """
+    if os.environ.get("SILT_BENCH_NO_WAIT"):
+        return True
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and all(p.strip() in ("cpu", "") for p in plats.split(",")):
+        return True  # forced-CPU runs (tests) don't probe; 'axon' IS the TPU tunnel
+    deadline = time.time() + budget_s
+    n = 0
+    while True:
+        n += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d=jax.devices(); assert d[0].platform=='tpu', d"],
+                timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                return True
+            err = r.stderr.decode(errors="replace").strip().splitlines()
+            print(f"[bench] TPU probe {n} failed: {err[-1] if err else 'rc=%d' % r.returncode}",
+                  file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] TPU probe {n} timed out ({probe_timeout}s)",
+                  file=sys.stderr, flush=True)
+        if time.time() >= deadline:
+            return False
+        time.sleep(min(60.0, max(1.0, deadline - time.time())))
+
+
+def emit_stale(reason: str) -> None:
+    """Emit the most recent committed hardware measurement, flagged stale,
+    instead of a bare traceback — a transient tunnel outage at round end must
+    not cost the round its bench number (VERDICT r4 next-step #3)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = [
+        "runs/bench_a3.json", "artifacts/bench_a3.json",
+        "artifacts/bench_queue.json", "artifacts/perf/bench_fdpcg.json",
+        "artifacts/perf/bench_tol5.json",
+    ]
+    obj, src = None, None
+    for rel in candidates:
+        p = os.path.join(here, rel)
+        try:
+            with open(p) as f:
+                obj = json.loads(f.readline())
+            src = rel
+            break
+        except Exception:
+            continue
+    if obj is None:
+        obj = {"metric": "karman2d_sol32_sec_per_adam_iter", "value": None,
+               "unit": "s/iter", "vs_baseline": None}
+        src = "none"
+    obj["stale"] = True
+    obj["stale_source"] = src
+    obj["stale_reason"] = reason
+    print(json.dumps(obj))
+
+
 if __name__ == "__main__":
-    main()
+    _budget = float(os.environ.get("SILT_BENCH_WAIT_S", "1500"))
+    if not wait_for_tpu(budget_s=_budget,
+                        probe_timeout=int(min(300, max(10, _budget)))):
+        emit_stale("TPU backend unavailable after retry budget")
+    else:
+        try:
+            main()
+        except Exception as e:  # mid-bench tunnel death: stale beats rc=1
+            emit_stale(f"bench raised {type(e).__name__}: {e}")

@@ -16,7 +16,7 @@ while true; do
   now=$(date +%s)
   if [ "$now" -ge "$END_TS" ]; then note "WAITER: deadline passed — exiting"; exit 0; fi
   n=$((n+1))
-  if timeout "$PROBE_TIMEOUT" python -c 'import jax; d=jax.devices(); assert d and d[0].platform=="tpu", d; print(d)' \
+  if timeout "$PROBE_TIMEOUT" python -c 'import jax; assert jax.default_backend()=="tpu", jax.default_backend(); print(jax.devices())' \
       >> runs/logs/tpu_probe.log 2>&1; then
     note "WAITER: TPU answered on probe $n — launching queue"
     break
