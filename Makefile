@@ -1,9 +1,20 @@
 # ---------------------------------------------------------------------------
 # Reference-parity workload DAG (karman-2d + burgers), TPU-native CLI.
-# Mirrors every target of the reference Makefiles
-# (/root/reference/karman-2d/Makefile, /root/reference/burgers/Makefile) with
-# identical hyperparameters; sequential shell sweeps become batched runs where
-# the TPU build supports it (multiple --re values in one rollout).
+# Mirrors EVERY target of the five reference Makefiles with identical
+# hyperparameters; sequential shell sweeps become batched runs where the TPU
+# build supports it (multiple --re values in one rollout).
+#
+# Reference target -> repo target map (the tf2/phi2 trees re-run the tf1
+# workloads on a different backend; this repo has ONE backend, so their
+# targets collapse onto the same names):
+#   karman-2d/Makefile        all 14 targets      -> same names below
+#   burgers/Makefile          all 11 targets      -> same names below
+#   karman-2d-tf2/Makefile    hires/lores sets, non(+run_test) -> same names;
+#                             karman-fdt-sol08(/run_test)      -> same names
+#   karman-2d-phi2/Makefile   sets + sol08(/run_test)          -> same names
+#   burgers-tf2/Makefile      forced targets -> same names; --noforce family
+#                             burgers-nof-fdt-{hires-set,hires-testset,
+#                             non,sol04}                       -> same names
 # ---------------------------------------------------------------------------
 
 SHELL := /bin/bash
@@ -118,6 +129,28 @@ karman-fdt-pre/run_test: karman-fdt-hires-testset
 			-d 4 -r 32 -l 100 --re $$re -t 500; \
 	done
 
+# PRE-SR (beta=0) rollouts (reference karman-2d/Makefile:97-106)
+karman-fdt-presr/run_test: karman-fdt-hires-testset
+	for i in 0 1 2 3 4; do \
+		re=$$(( 10000 * 2**($$i+3) * 3 )); \
+		$(PY) karman-pre-apply -o $@ --stats karman-fdt-presr/tf/stats.json \
+			--model karman-fdt-presr/tf/model.msgpack \
+			--initdH karman-fdt-hires-testset/sim_00000$$i/dens_001000.npz \
+			--initvH karman-fdt-hires-testset/sim_00000$$i/velo_001000.npz \
+			-d 4 -r 32 -l 100 --re $$re -t 500; \
+	done
+
+# SOL-08 rollouts (reference karman-2d-tf2/Makefile:76-84)
+karman-fdt-sol08/run_test: karman-fdt-hires-testset
+	for i in 0 1 2 3 4; do \
+		re=$$(( 10000 * 2**($$i+3) * 3 )); \
+		$(PY) karman-apply -o $@ --stats karman-fdt-sol08/tf/dataStats.json \
+			--model karman-fdt-sol08/tf/model.msgpack \
+			--initdH karman-fdt-hires-testset/sim_00000$$i/dens_001000.npz \
+			--initvH karman-fdt-hires-testset/sim_00000$$i/velo_001000.npz \
+			-d 4 -r 32 -l 100 --re $$re -t 500; \
+	done
+
 # ############################################################################
 # burgers
 
@@ -131,6 +164,35 @@ burgers-fdt-hires-set:
 burgers-fdt-hires-testset:
 	for i in 100 101 102 103 104; do \
 		$(PY) burgers-gen -o $@ -r 128 -l 32 --dt 0.1 -s 30 -t 200 --seed $$i --thumb; \
+	done
+
+# --noforce family (reference burgers-tf2/Makefile:25-39,69-80)
+burgers-nof-fdt-hires-set:
+	for i in 0 1 2 3 4 5 6 7 8 9; do \
+		$(PY) burgers-gen -o $@ -r 128 -l 32 --dt 0.1 -s 30 -t 200 --seed $$i --noforce --thumb; \
+	done
+
+burgers-nof-fdt-hires-testset:
+	for i in 100 101 102 103 104; do \
+		$(PY) burgers-gen -o $@ -r 128 -l 32 --dt 0.1 -s 30 -t 200 --seed $$i --noforce --thumb; \
+	done
+
+# lo-res source runs, forces replayed from the downsampled hi-res runs
+# (reference burgers/Makefile:35-52; not used for training)
+burgers-fdt-lores-set: burgers-fdt-hires-set
+	for i in 0 1 2 3 4 5 6 7 8 9; do \
+		sim=$$(printf '%06d' $$i); \
+		$(PY) burgers-gen -o $@ -r 32 -l 32 --dt 0.1 -s 0 -t 200 -d 4 --seed $$i --thumb \
+			--initvH burgers-fdt-hires-set/sim_$$sim/velo_000000.npz \
+			--loadfH "burgers-fdt-hires-set/sim_$$sim/forc_0*.npz"; \
+	done
+
+burgers-fdt-lores-testset: burgers-fdt-hires-testset
+	for i in 0 1 2 3 4; do \
+		sim=$$(printf '%06d' $$i); \
+		$(PY) burgers-gen -o $@ -r 32 -l 32 --dt 0.1 -s 0 -t 200 -d 4 --seed 10$$i --thumb \
+			--initvH burgers-fdt-hires-testset/sim_$$sim/velo_000000.npz \
+			--loadfH "burgers-fdt-hires-testset/sim_$$sim/forc_0*.npz"; \
 	done
 
 burgers-fdt-pre-set: burgers-fdt-hires-set
@@ -152,6 +214,27 @@ burgers-fdt-non:
 burgers-fdt-sol04:
 	$(PY) burgers-train --tf $@/tf --log $@/tf/run.log --epochs 100 --lr 0.0001 \
 		--dt 0.1 -t 200 -s 4 -m 4 -n 10 -b 5 --seed 0 --train burgers-fdt-hires-set
+
+# --noforce variants: trained on the FORCED data, features without force
+# channels (reference burgers-tf2/Makefile:69-80 passes the forced hires set)
+burgers-nof-fdt-non:
+	$(PY) burgers-train --tf $@/tf --log $@/tf/run.log --epochs 100 --lr 0.0001 \
+		--dt 0.1 -t 200 -s 4 -m 1 -n 10 -b 5 --seed 0 --noforce --train burgers-fdt-hires-set
+
+burgers-nof-fdt-sol04:
+	$(PY) burgers-train --tf $@/tf --log $@/tf/run.log --epochs 100 --lr 0.0001 \
+		--dt 0.1 -t 200 -s 4 -m 4 -n 10 -b 5 --seed 0 --noforce --train burgers-fdt-hires-set
+
+# PRE rollouts (reference burgers/Makefile:83-93)
+burgers-fdt-pre/run_test: burgers-fdt-hires-testset
+	for i in 0 1 2 3 4; do \
+		sim=$$(printf '%06d' $$i); \
+		$(PY) burgers-pre-apply -o $@ --stats burgers-fdt-pre/tf/stats.json \
+			--model burgers-fdt-pre/tf/model.msgpack \
+			--initvH burgers-fdt-hires-testset/sim_$$sim/velo_000000.npz \
+			--loadfH "burgers-fdt-hires-testset/sim_$$sim/forc_0*.npz" \
+			-d 4 -r 32 -l 32 --dt 0.1 -t 200; \
+	done
 
 burgers-fdt-sol04/run_test: burgers-fdt-hires-testset
 	for i in 0 1 2 3 4; do \

@@ -112,6 +112,15 @@ def run(args):
             pre_stats = json.load(f)
         stats["in.std"] = pre_stats["in.std"]
         stats["out.std"] = pre_stats["out.std"]
+        # supervised-init contract: rebuild the net with the slope the PRE
+        # checkpoint was trained at (absent = pre-round-4 0.01), like the
+        # resume path above — else loaded weights run under a different
+        # activation (ADVICE r4 medium)
+        pre_alpha = pre_stats.get("leaky_alpha", 0.01)
+        if pre_alpha != args.leaky_alpha:
+            log.info("--pretf checkpoint trained at leaky_alpha=%s; overriding CLI %s",
+                     pre_alpha, args.leaky_alpha)
+            args.leaky_alpha = pre_alpha
 
     if "in.std" in stats:
         # supervised-init normalization contract (karman_train.py:352-356)

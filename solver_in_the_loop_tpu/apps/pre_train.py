@@ -190,6 +190,21 @@ def run(args, scenario: str = "karman"):
     # (reference zero_centered=False path, tf_data.py:29-32)
     in_mean = nonzero_channel_mean(tr_in) if args.nozerocen else np.zeros_like(in_std)
     out_mean = nonzero_channel_mean(tr_lb) if args.nozerocen else np.zeros_like(out_std)
+    if args.resume > 0:
+        # A resume must rebuild the net at the slope the run was started with
+        # even when --leaky-alpha isn't re-passed, instead of silently changing
+        # the activation and overwriting stats.json (ADVICE r4; same contract
+        # as karman-train/burgers-train --resume). Absent key = pre-fix 0.01.
+        try:
+            with open(os.path.join(args.opath, "stats.json")) as f:
+                old_alpha = json.load(f).get("leaky_alpha", 0.01)
+            if old_alpha != args.leaky_alpha:
+                log.info("resume: restoring leaky_alpha=%s from stats.json "
+                         "(CLI said %s)", old_alpha, args.leaky_alpha)
+                args.leaky_alpha = old_alpha
+        except FileNotFoundError:
+            pass
+
     stats = {
         "in.std": in_std.tolist(),
         "out.std": out_std.tolist(),

@@ -67,7 +67,15 @@ class Conv(nn.Conv):
         from ..ops.pallas import conv_kernel as ck
         ks = tuple(self.kernel_size)
         cin = x.shape[-1]
-        if (x.ndim == 4 and self.use_bias
+        # The Pallas path implements exactly stride-1 SAME dense convolution;
+        # anything else must fall through to nn.Conv (ADVICE r4: the class
+        # reads as a general drop-in, so guard the dispatch, not just assume).
+        stride1 = self.strides in (None, 1, (1, 1))
+        plain = (stride1 and self.padding == "SAME"
+                 and self.kernel_dilation in (None, 1, (1, 1))
+                 and self.input_dilation in (None, 1, (1, 1))
+                 and self.feature_group_count == 1)
+        if (plain and x.ndim == 4 and self.use_bias
                 and ck.conv_available(x.shape, ks, cin, self.features)):
             kernel = self.param("kernel", self.kernel_init,
                                 ks + (cin, self.features), self.param_dtype)

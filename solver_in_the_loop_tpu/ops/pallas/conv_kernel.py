@@ -94,7 +94,10 @@ def conv_available(xshape, kernel_size, cin: int, cout: int) -> bool:
     M = B * H * W
     TM, M_pad = _tile(M)
     halo = (K // 2) * W + K // 2
-    cmax = max(cin, cout)
+    # the 'taps' variant pads channels to a multiple of 8 (_pad_cin); estimate
+    # with the padded count so the gate matches what the kernel actually
+    # allocates (ADVICE r4: raw cin=3 understates the input term ~2.7x)
+    cmax = _round_up(max(cin, cout), 8)
     vmem = ((M_pad + 2 * halo) * cmax * 4       # padded input rows
             + TM * K * K * cmax * 4             # patch scratch
             + K * K * cmax * cmax * 4           # weight matrix
