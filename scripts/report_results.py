@@ -63,6 +63,39 @@ def burgers_table() -> str:
     return "**burgers velocity MAE, 199 recurrent steps:**\n\n" + "\n".join(rows)
 
 
+def multiseed_table() -> str:
+    """burgers SOL-04 vs NON across TRAINING seeds (queue a3_b_*_s{1,2};
+    seed 0 = the headline a3 run). Measures the 'seed noise' claim from the
+    round-4 SOL-vs-NON mean-MAE inversion instead of asserting it."""
+    import numpy as np
+
+    tags = {0: "", 1: "_s1", 2: "_s2"}
+    rows = ["| variant | train seed | MAE mean over eval seeds | MAE final |",
+            "|---|---|---|---|"]
+    summary = []
+    for v in ("sol04", "non"):
+        per_seed_means, per_seed_finals = [], []
+        for ts, suff in tags.items():
+            ds = [load(f"eval_burgers_{v}{suff}_seed{s}.json") for s in B_SEEDS]
+            ds = [d for d in ds if d]
+            if not ds:
+                rows.append(f"| {v} | {ts} | — | — |")
+                continue
+            m = float(np.mean([d["mae_mean"] for d in ds]))
+            fin = float(np.mean([d["mae_final"] for d in ds]))
+            per_seed_means.append(m)
+            per_seed_finals.append(fin)
+            rows.append(f"| {v} | {ts} | {m:.4f} | {fin:.4f} |")
+        if per_seed_means:
+            summary.append(
+                f"| {v} | mean±std over {len(per_seed_means)} seeds | "
+                f"{np.mean(per_seed_means):.4f}±{np.std(per_seed_means):.4f} | "
+                f"{np.mean(per_seed_finals):.4f}±{np.std(per_seed_finals):.4f} |")
+    return ("**burgers SOL-vs-NON across training seeds "
+            "(199-step rollouts, 5 eval seeds each):**\n\n"
+            + "\n".join(rows + summary))
+
+
 def ablation_table() -> str:
     rows = ["| init | 499-step MAE mean | final |", "|---|---|---|"]
     for tag, label in [("abl_zero", "zero output conv (ours, 20 ep)"),
@@ -78,6 +111,8 @@ def main() -> None:
     print(karman_table("eval100", "100"))
     print()
     print(burgers_table())
+    print()
+    print(multiseed_table())
     print()
     print(ablation_table())
 
