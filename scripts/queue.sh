@@ -404,6 +404,14 @@ run_stage a3_early_bench -T 2400 -V runs/bench_a3.json -- bash -c '
   grep -q "\"stale\": true" runs/bench_a3.json && { rm -f runs/bench_a3.json; exit 1; }
   cp -f runs/bench_a3.json artifacts/ 2>/dev/null; true'
 
+# Post-conv-decision step profile: where does the time go once the convs run
+# in the Pallas kernels? (decides whether a fused advection kernel is the next
+# lever — VERDICT r4 next-step #6)
+run_stage a3_profile -T 1800 -V runs/profile_r5.log conv_validate -- bash -c '
+  python -u scripts/profile_step.py --by-name --iters 20 --out runs/profile_r5 \
+    > runs/profile_r5.log 2>&1
+  mkdir -p artifacts/perf && cp -f runs/profile_r5.log artifacts/perf/'
+
 run_stage a3_archive -V results_full_workload/r4a_alpha001/eval100_sol32_re3840000.json -- bash -c '
   mkdir -p results_full_workload/r4a_alpha001
   cp -f results_full_workload/eval*.json results_full_workload/r4a_alpha001/'
