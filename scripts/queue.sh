@@ -404,10 +404,16 @@ run_stage a3_early_bench -T 2400 -V runs/bench_a3.json -- bash -c '
   grep -q "\"stale\": true" runs/bench_a3.json && { rm -f runs/bench_a3.json; exit 1; }
   cp -f runs/bench_a3.json artifacts/ 2>/dev/null; true'
 
+# Fused advection tap-sum kernel (round 5, VERDICT r4 next-step #6): validate
+# on hardware and enable if it wins end-to-end. Gated exactly like conv_ok.
+run_stage advect_validate -T 3600 -V artifacts/perf/advect_validate.log -- bash -c '
+  mkdir -p artifacts/perf
+  python -u scripts/validate_pallas_advect.py --iters 30 2>&1 | tee artifacts/perf/advect_validate.log'
+
 # Post-conv-decision step profile: where does the time go once the convs run
 # in the Pallas kernels? (decides whether a fused advection kernel is the next
 # lever — VERDICT r4 next-step #6)
-run_stage a3_profile -T 1800 -V runs/profile_r5.log conv_validate -- bash -c '
+run_stage a3_profile -T 1800 -V runs/profile_r5.log -- bash -c '
   python -u scripts/profile_step.py --by-name --iters 20 --out runs/profile_r5 \
     > runs/profile_r5.log 2>&1
   mkdir -p artifacts/perf && cp -f runs/profile_r5.log artifacts/perf/'

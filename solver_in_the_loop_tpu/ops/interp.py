@@ -105,6 +105,17 @@ def shifted_stencil_sample(
         dy = jnp.clip(jj + dy, 0.0, h - 1.0) - jj
         dx = jnp.clip(ii + dx, 0.0, w - 1.0) - ii
 
+    # fused Pallas tap-sum (one kernel fwd, one bwd) when hardware-validated;
+    # the clamps above stay in XLA so their VJPs compose (ops/pallas/
+    # advect_kernel.py). Weights are bit-identical to the loop below.
+    from solver_in_the_loop_tpu.ops.pallas import advect_kernel as ak
+
+    if values.ndim == 3 and ak.tap_sum_available(values.shape, max_shift, periodic):
+        return ak.tap_sum(values,
+                          jnp.broadcast_to(dy, values.shape).astype(values.dtype),
+                          jnp.broadcast_to(dx, values.shape).astype(values.dtype),
+                          max_shift, periodic)
+
     def shifted(sy: int, sx: int) -> jnp.ndarray:
         """values[b, j + sy, i + sx] with edge replication / wrap, statically."""
         if periodic:
