@@ -74,12 +74,19 @@ def check_shapes(report):
             fj = jax.jit(f)
             return fj, fj(values, dy, dx)
 
-        f_pl, y_pl = run("1")
-        f_xl, y_xl = run("0")
-        err = float(jnp.max(jnp.abs(y_pl - y_xl)))
-        g_pl, gs_pl = run("1", grad=True)
-        g_xl, gs_xl = run("0", grad=True)
-        gerr = max(float(jnp.max(jnp.abs(a - e))) for a, e in zip(gs_pl, gs_xl))
+        try:
+            f_pl, y_pl = run("1")
+            f_xl, y_xl = run("0")
+            err = float(jnp.max(jnp.abs(y_pl - y_xl)))
+            g_pl, gs_pl = run("1", grad=True)
+            g_xl, gs_xl = run("0", grad=True)
+            gerr = max(float(jnp.max(jnp.abs(a - e))) for a, e in zip(gs_pl, gs_xl))
+        except Exception as e:  # Mosaic lowering failures count as FAIL, with log
+            line = f"({b},{h},{w}) m={m} {'per' if per else 'open'}: LOWERING FAIL {e}"
+            print(line, flush=True)
+            report.append(line)
+            ok = False
+            continue
         good = err < 1e-4 and gerr < 1e-3
         ok &= good
 
