@@ -283,6 +283,11 @@ def main() -> None:
                     if bytes_accessed else None,
         "hostfeed_transfer_s": round(hostfeed_sec, 6),
         "pressure_tol": ptol,
+        # which hardware-validated Pallas kernels were live for this number
+        "pallas_conv": __import__("solver_in_the_loop_tpu.ops.pallas.conv_kernel",
+                                  fromlist=["_enabled"])._enabled(),
+        "pallas_advect": __import__("solver_in_the_loop_tpu.ops.pallas.advect_kernel",
+                                    fromlist=["_enabled"])._enabled(),
         **cg_stats,
     }
     print(json.dumps(out))
