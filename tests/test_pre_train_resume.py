@@ -49,6 +49,25 @@ def test_pre_resume_bit_identical(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_pre_resume_restores_leaky_alpha(tmp_path):
+    """A resume without re-passing --leaky-alpha must rebuild the net at the
+    slope the run was started with, not the CLI default (ADVICE r4)."""
+    import json
+
+    scene = _make_burgers_pre_scene(tmp_path)
+    out = tmp_path / "out"
+    argv = ["-o", str(out), "--epochs", "2", "--bsize", "4", "--seed", "0",
+            "--val", "0.25", "--nostats", "--leaky-alpha", "0.01", scene]
+    pre_train.run(pre_train.build_parser().parse_args(argv), scenario="burgers")
+    assert json.load(open(out / "stats.json"))["leaky_alpha"] == 0.01
+
+    argv = ["-o", str(out), "--epochs", "3", "--bsize", "4", "--seed", "0",
+            "--val", "0.25", "--nostats", "--resume", "2", scene]
+    pre_train.run(pre_train.build_parser().parse_args(argv), scenario="burgers")
+    # stats.json is rewritten on resume; it must keep the original slope
+    assert json.load(open(out / "stats.json"))["leaky_alpha"] == 0.01
+
+
 def test_pre_per_epoch_checkpoints_pruned(tmp_path):
     scene = _make_burgers_pre_scene(tmp_path)
     out = tmp_path / "out"
