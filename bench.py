@@ -128,6 +128,8 @@ def _cost_analysis(compiled):
 def main() -> None:
     from solver_in_the_loop_tpu.models.features import Normalization
     from solver_in_the_loop_tpu.models.networks import build_model
+    from solver_in_the_loop_tpu.ops.pallas import advect_kernel as _advect_kernel
+    from solver_in_the_loop_tpu.ops.pallas import conv_kernel as _conv_kernel
     from solver_in_the_loop_tpu.physics.karman import KarmanFlow, karman_domain
     from solver_in_the_loop_tpu.train.trainer import (
         SolTrainConfig,
@@ -284,10 +286,8 @@ def main() -> None:
         "hostfeed_transfer_s": round(hostfeed_sec, 6),
         "pressure_tol": ptol,
         # which hardware-validated Pallas kernels were live for this number
-        "pallas_conv": __import__("solver_in_the_loop_tpu.ops.pallas.conv_kernel",
-                                  fromlist=["_enabled"])._enabled(),
-        "pallas_advect": __import__("solver_in_the_loop_tpu.ops.pallas.advect_kernel",
-                                    fromlist=["_enabled"])._enabled(),
+        "pallas_conv": _conv_kernel._enabled(),
+        "pallas_advect": _advect_kernel._enabled(),
         **cg_stats,
     }
     print(json.dumps(out))

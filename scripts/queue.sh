@@ -393,6 +393,7 @@ run_stage final_bench -V runs/bench_queue.json -- bash -c '
 # Source-solver rows have no model and carry over unchanged.
 
 run_stage conv_validate -T 3600 -V artifacts/perf/conv_validate.log -- bash -c '
+  set -o pipefail
   mkdir -p artifacts/perf
   python -u scripts/validate_pallas_conv.py --iters 30 2>&1 | tee artifacts/perf/conv_validate.log'
 
@@ -400,13 +401,15 @@ run_stage conv_validate -T 3600 -V artifacts/perf/conv_validate.log -- bash -c '
 # its driver capture to the tunnel outage; don't let the long trains defer
 # the round-5 headline to a deadline cut).
 run_stage a3_early_bench -T 2400 -V runs/bench_a3.json -- bash -c '
-  SILT_BENCH_WAIT_S=60 python bench.py | tee runs/bench_a3.json
+  set -o pipefail
+  SILT_BENCH_WAIT_S=60 python bench.py | tee runs/bench_a3.json || exit 1
   grep -q "\"stale\": true" runs/bench_a3.json && { rm -f runs/bench_a3.json; exit 1; }
   cp -f runs/bench_a3.json artifacts/ 2>/dev/null; true'
 
 # Fused advection tap-sum kernel (round 5, VERDICT r4 next-step #6): validate
 # on hardware and enable if it wins end-to-end. Gated exactly like conv_ok.
 run_stage advect_validate -T 3600 -V artifacts/perf/advect_validate.log -- bash -c '
+  set -o pipefail
   mkdir -p artifacts/perf
   python -u scripts/validate_pallas_advect.py --iters 30 2>&1 | tee artifacts/perf/advect_validate.log'
 
@@ -415,7 +418,7 @@ run_stage advect_validate -T 3600 -V artifacts/perf/advect_validate.log -- bash 
 # lever — VERDICT r4 next-step #6)
 run_stage a3_profile -T 1800 -V runs/profile_r5.log -- bash -c '
   python -u scripts/profile_step.py --by-name --iters 20 --out runs/profile_r5 \
-    > runs/profile_r5.log 2>&1
+    > runs/profile_r5.log 2>&1 || exit 1
   mkdir -p artifacts/perf && cp -f runs/profile_r5.log artifacts/perf/'
 
 run_stage a3_archive -V results_full_workload/r4a_alpha001/eval100_sol32_re3840000.json -- bash -c '
@@ -575,9 +578,14 @@ run_stage a3_b_non_s2_test -V burgers-fdt-non-a3s2/run_test/sim_000004/velTf_000
 run_stage a3_b_eval_non_s2 a3_b_non_s2_test -- \
   python scripts/cpu_eval_batch.py b_eval non_s2 burgers-fdt-non-a3s2/run_test
 
-# -------- final bench (post-conv-kernel decision)
-run_stage a3_final_bench -V runs/bench_a3.json -- bash -c '
-  python bench.py | tee runs/bench_a3.json
-  cp -f runs/bench_a3.json artifacts/ 2>/dev/null; true'
+# -------- final bench (post-campaign; own file so a stale emission can never
+# clobber the early capture, and a stale result fails the stage so it retries)
+run_stage a3_final_bench -V runs/bench_a3_final.json -- bash -c '
+  set -o pipefail
+  SILT_BENCH_WAIT_S=300 python bench.py | tee runs/bench_a3_final.tmp || exit 1
+  grep -q "\"stale\": true" runs/bench_a3_final.tmp && { rm -f runs/bench_a3_final.tmp; exit 1; }
+  mv runs/bench_a3_final.tmp runs/bench_a3_final.json
+  cp -f runs/bench_a3_final.json runs/bench_a3.json
+  cp -f runs/bench_a3_final.json artifacts/bench_a3.json 2>/dev/null; true'
 
 note "QUEUE COMPLETE"

@@ -97,22 +97,7 @@ def run(args):
         # resume with the slope the run was started with (absent = pre-fix 0.01)
         args.leaky_alpha = stats.get("leaky_alpha", 0.01)
     if args.pretf is not None:
-        # supervised-init normalization contract (reference burgers_train.py:
-        # 337-341,403-412 — NB the reference stores in.std as a 1-tuple there,
-        # so its pretf+forces branch would IndexError at :410; we follow the
-        # evident intent and the working karman contract, karman_train.py:
-        # 352-356: the net keeps the scales it was trained with)
-        import json, os
-        with open(os.path.join(os.path.dirname(args.pretf), "stats.json")) as f:
-            pre_stats = json.load(f)
-        stats["in.std"] = pre_stats["in.std"]
-        stats["out.std"] = pre_stats["out.std"]
-        # and the slope it was trained with (ADVICE r4 medium)
-        pre_alpha = pre_stats.get("leaky_alpha", 0.01)
-        if pre_alpha != args.leaky_alpha:
-            log.info("--pretf checkpoint trained at leaky_alpha=%s; overriding CLI %s",
-                     pre_alpha, args.leaky_alpha)
-            args.leaky_alpha = pre_alpha
+        ckpt.adopt_pretf_stats(stats, args, log)
 
     use_force = not args.noforce
     if "in.std" in stats and use_force:

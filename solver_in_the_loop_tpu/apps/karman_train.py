@@ -107,20 +107,7 @@ def run(args):
         # resume with the slope the run was started with (absent = pre-fix 0.01)
         args.leaky_alpha = stats.get("leaky_alpha", 0.01)
     if args.pretf is not None:
-        import json, os
-        with open(os.path.join(os.path.dirname(args.pretf), "stats.json")) as f:
-            pre_stats = json.load(f)
-        stats["in.std"] = pre_stats["in.std"]
-        stats["out.std"] = pre_stats["out.std"]
-        # supervised-init contract: rebuild the net with the slope the PRE
-        # checkpoint was trained at (absent = pre-round-4 0.01), like the
-        # resume path above — else loaded weights run under a different
-        # activation (ADVICE r4 medium)
-        pre_alpha = pre_stats.get("leaky_alpha", 0.01)
-        if pre_alpha != args.leaky_alpha:
-            log.info("--pretf checkpoint trained at leaky_alpha=%s; overriding CLI %s",
-                     pre_alpha, args.leaky_alpha)
-            args.leaky_alpha = pre_alpha
+        ckpt.adopt_pretf_stats(stats, args, log)
 
     if "in.std" in stats:
         # supervised-init normalization contract (karman_train.py:352-356)

@@ -72,8 +72,12 @@ def tap_sum_available(shape, max_shift: int, periodic: bool) -> bool:
             return False
         if jax.device_count() > 1:
             return False  # GSPMD would all-gather around the custom call
-        if not _enabled():
-            return False
+    if not _enabled():
+        # honored in interpret mode too, so tests can force SILT_PALLAS_ADVECT
+        # =0/1 to get a REAL XLA-vs-Pallas comparison through the public
+        # dispatch (code-review r5 #1: an always-on interpret gate made both
+        # arms dispatch the kernel)
+        return False
     if len(shape) != 3:
         return False
     b, h, w = shape

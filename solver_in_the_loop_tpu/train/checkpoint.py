@@ -71,3 +71,24 @@ def load_stats(ckpt_dir: str) -> Dict:
 
 def param_count(params) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
+
+
+def adopt_pretf_stats(stats: Dict, args, log) -> None:
+    """Supervised-init (--pretf) contract, shared by karman/burgers trainers.
+
+    Adopt the PRE checkpoint's normalization scales (karman_train.py:352-356;
+    the burgers reference intends the same but its pretf+forces branch
+    IndexErrors at burgers_train.py:410) and rebuild the net at the
+    leaky_alpha the checkpoint was trained with (absent key = pre-round-4
+    0.01) — loaded weights must run under the activation they were trained
+    with (ADVICE r4 medium). Mutates `stats` and `args.leaky_alpha` in place.
+    """
+    with open(os.path.join(os.path.dirname(args.pretf), "stats.json")) as f:
+        pre_stats = json.load(f)
+    stats["in.std"] = pre_stats["in.std"]
+    stats["out.std"] = pre_stats["out.std"]
+    pre_alpha = pre_stats.get("leaky_alpha", 0.01)
+    if pre_alpha != args.leaky_alpha:
+        log.info("--pretf checkpoint trained at leaky_alpha=%s; overriding CLI %s",
+                 pre_alpha, args.leaky_alpha)
+        args.leaky_alpha = pre_alpha
