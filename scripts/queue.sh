@@ -499,17 +499,8 @@ run_stage a3_k_eval_presr a3_k_presr_test a3_archive -- \
 train_stage a3_b_pre burgers-fdt-pre-a3/tf b_pre_sim9 -- \
   $PY burgers-pre-train -o burgers-fdt-pre-a3/tf --seed 0 --val 0.05 --epochs 400 \
       'burgers-fdt-pre-set/sim_0*/'
-run_stage a3_b_pre_test -V burgers-fdt-pre-a3/run_test/sim_000004/velTf_000199.npz a3_b_pre b_gen_test -- bash -c '
-  source scripts/round2_queue_lib.sh
-  rm -rf burgers-fdt-pre-a3/run_test
-  for i in 0 1 2 3 4; do
-    sim=$(printf "%06d" $i)
-    $PY burgers-pre-apply -o burgers-fdt-pre-a3/run_test \
-        --stats burgers-fdt-pre-a3/tf/stats.json --model burgers-fdt-pre-a3/tf/model.msgpack \
-        --initvH burgers-fdt-hires-testset/sim_$sim/velo_000000.npz \
-        --loadfH "burgers-fdt-hires-testset/sim_$sim/forc_0*.npz" \
-        -d 4 -r 32 -l 32 --dt 0.1 -t 200 || exit 1
-  done'
+run_stage a3_b_pre_test -V burgers-fdt-pre-a3/run_test/sim_000004/velTf_000199.npz a3_b_pre b_gen_test -- \
+  python -u scripts/apply_batch.py b_pre_run_test burgers-fdt-pre-a3/run_test burgers-fdt-pre-a3/tf
 run_stage a3_b_eval_pre a3_b_pre_test a3_archive -- \
   python scripts/cpu_eval_batch.py b_eval pre burgers-fdt-pre-a3/run_test
 
@@ -517,17 +508,8 @@ run_stage a3_b_eval_pre a3_b_pre_test a3_archive -- \
 train_stage a3_b_pre_jm burgers-fdt-pre-jm-a3/tf b_pre_sim9 -- \
   $PY burgers-pre-train -o burgers-fdt-pre-jm-a3/tf --model jupiter_moon \
       --seed 0 --val 0.05 --epochs 400 'burgers-fdt-pre-set/sim_0*/'
-run_stage a3_b_pre_jm_test -V burgers-fdt-pre-jm-a3/run_test/sim_000004/velTf_000199.npz a3_b_pre_jm b_gen_test -- bash -c '
-  source scripts/round2_queue_lib.sh
-  rm -rf burgers-fdt-pre-jm-a3/run_test
-  for i in 0 1 2 3 4; do
-    sim=$(printf "%06d" $i)
-    $PY burgers-pre-apply -o burgers-fdt-pre-jm-a3/run_test --arch jupiter_moon \
-        --stats burgers-fdt-pre-jm-a3/tf/stats.json --model burgers-fdt-pre-jm-a3/tf/model.msgpack \
-        --initvH burgers-fdt-hires-testset/sim_$sim/velo_000000.npz \
-        --loadfH "burgers-fdt-hires-testset/sim_$sim/forc_0*.npz" \
-        -d 4 -r 32 -l 32 --dt 0.1 -t 200 || exit 1
-  done'
+run_stage a3_b_pre_jm_test -V burgers-fdt-pre-jm-a3/run_test/sim_000004/velTf_000199.npz a3_b_pre_jm b_gen_test -- \
+  python -u scripts/apply_batch.py b_pre_run_test burgers-fdt-pre-jm-a3/run_test burgers-fdt-pre-jm-a3/tf --arch jupiter_moon
 run_stage a3_b_eval_pre_jm a3_b_pre_jm_test a3_archive -- \
   python scripts/cpu_eval_batch.py b_eval prejm burgers-fdt-pre-jm-a3/run_test
 

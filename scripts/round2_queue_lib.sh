@@ -11,15 +11,9 @@ RES=results_full_workload
 test_re() { echo $(( 10000 * (2**($1+3)) * 3 )); }   # 240k 480k 960k 1.92M 3.84M
 
 k_run_test() {  # k_run_test OUTDIR MODEL STATS [EXTRA]
-  rm -rf "$1"
-  local i re
-  for i in 0 1 2 3 4; do
-    re=$(test_re $i)
-    $PY karman-apply -o "$1" --stats "$3" --model "$2" $4 \
-        --initdH karman-fdt-hires-testset/sim_00000$i/dens_001000.npz \
-        --initvH karman-fdt-hires-testset/sim_00000$i/velo_001000.npz \
-        -d 4 -r 32 -l 100 --re $re -t 500 || return 1
-  done
+  # one process for all 5 rollouts: each fresh python pays a 1-3 min tunnel
+  # startup stall (scripts/apply_batch.py; same CLI argv per rollout)
+  python -u scripts/apply_batch.py k_run_test "$@" || return 1
 }
 
 k_eval() {  # k_eval TAG RUNDIR
@@ -54,27 +48,11 @@ pre_gen() {  # pre_gen OUTDIR BETA
 }
 
 pre_run_test() {  # pre_run_test OUTDIR TFDIR
-  rm -rf "$1"
-  local i re
-  for i in 0 1 2 3 4; do
-    re=$(test_re $i)
-    $PY karman-pre-apply -o "$1" --stats "$2/stats.json" --model "$2/model.msgpack" \
-        --initdH karman-fdt-hires-testset/sim_00000$i/dens_001000.npz \
-        --initvH karman-fdt-hires-testset/sim_00000$i/velo_001000.npz \
-        -d 4 -r 32 -l 100 --re $re -t 500 || return 1
-  done
+  python -u scripts/apply_batch.py pre_run_test "$@" || return 1
 }
 
 b_run_test() {  # b_run_test OUTDIR MODEL STATS [EXTRA]
-  rm -rf "$1"
-  local i sim
-  for i in 0 1 2 3 4; do
-    sim=$(printf '%06d' $i)
-    $PY burgers-apply -o "$1" --stats "$3" --model "$2" $4 \
-        --initvH burgers-fdt-hires-testset/sim_$sim/velo_000000.npz \
-        --loadfH "burgers-fdt-hires-testset/sim_$sim/forc_0*.npz" \
-        -d 4 -r 32 -l 32 --dt 0.1 -t 200 || return 1
-  done
+  python -u scripts/apply_batch.py b_run_test "$@" || return 1
 }
 
 b_eval() {  # b_eval TAG RUNDIR  — 199-step rollout MAE per held-out seed
