@@ -30,7 +30,12 @@ The backward kernel computes all three cotangents in one pass:
   ddy  = sum taps g * V[j+sy,i+sx] * wy'(sy) * wx(sx)
   ddx  = sum taps g * V[j+sy,i+sx] * wy(sy) * wx'(sx)
 with w'(s) = -sign(d - s) where the hat is active, matching jax's autodiff
-of max(0, 1-|d-s|) (sign(0) = 0).
+of max(0, 1-|d-s|) (sign(0) = 0) INCLUDING lax.max's tie convention: at
+|d-s| == 1 exactly the max(0, .) arguments tie and jax averages the branch
+gradients, giving -0.5*sign(d-s). Exact ties are not measure-zero here: the
+caller's open-boundary clamp computes clip(j+dy, ...) - j, and the add can
+round j+dy to an integer in f32, snapping dy to an exact integer (seen on
+hardware validation at (3,64,32): dy=-1.9999985 at j=52 snaps to -2.0).
 
 Dispatch gating follows ops/pallas/conv_kernel.py: real single-device TPU,
 VMEM-sized problem, and a hardware-validation marker
@@ -141,20 +146,44 @@ def _bwd_kernel(v_ref, dy_ref, dx_ref, g_ref, dv_ref, ddy_ref, ddx_ref,
     dy = dy_ref[...]
     dx = dx_ref[...]
     g = g_ref[...]
-    col = _local_col(v.shape, w) if periodic else None
+    h = v.shape[0]
+    col = _local_col(v.shape, w)
+    row = lax.broadcasted_iota(jnp.int32, v.shape, 0)
     dv = jnp.zeros_like(v)
     ddy = jnp.zeros_like(v)
     ddx = jnp.zeros_like(v)
     for sy in range(-m, m + 2):
         ty = dy - sy
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ty))
-        dwy = jnp.where(jnp.abs(ty) < 1.0, -jnp.sign(ty), 0.0)
+        aty = jnp.abs(ty)
+        wy = jnp.maximum(0.0, 1.0 - aty)
+        # lax.abs' subgradient is +1 at 0 (not 0); lax.max averages at ties
+        sgy = jnp.where(ty >= 0.0, 1.0, -1.0)
+        dwy = -sgy * jnp.where(aty < 1.0, 1.0, jnp.where(aty == 1.0, 0.5, 0.0))
         vrow = _row_shift(v, sy)
+        if not periodic and sy > 0:
+            # OPEN tie taps (|t|==1: weight exactly 0 but weight-derivative
+            # -+0.5) still contribute g*V to ddy/ddx, and XLA's replicate
+            # shift reads the EDGE value there, not roll wraparound. The
+            # caller clamps j+dy into [0, h-1], so any tap that matters is
+            # out of range by at most one row/lane: one clamped re-roll
+            # restores replicate parity (rows further out keep roll garbage
+            # under an exact 0 in both weight and weight-derivative).
+            vrow = jnp.where(row + sy <= h - 1, vrow, _row_shift(v, sy - 1))
+        elif not periodic and sy < 0:
+            vrow = jnp.where(row + sy >= 0, vrow, _row_shift(v, sy + 1))
         for sx in range(-m, m + 2):
             tx = dx - sx
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(tx))
-            dwx = jnp.where(jnp.abs(tx) < 1.0, -jnp.sign(tx), 0.0)
+            atx = jnp.abs(tx)
+            wx = jnp.maximum(0.0, 1.0 - atx)
+            sgx = jnp.where(tx >= 0.0, 1.0, -1.0)
+            dwx = -sgx * jnp.where(atx < 1.0, 1.0, jnp.where(atx == 1.0, 0.5, 0.0))
             vs = _lane_shift(vrow, sx, w, col, periodic)
+            if not periodic and sx > 0:
+                vs = jnp.where(col + sx <= w - 1, vs,
+                               _lane_shift(vrow, sx - 1, w, col, periodic))
+            elif not periodic and sx < 0:
+                vs = jnp.where(col + sx >= 0, vs,
+                               _lane_shift(vrow, sx + 1, w, col, periodic))
             gv = g * vs
             ddy = ddy + gv * (dwy * wx)
             ddx = ddx + gv * (wy * dwx)

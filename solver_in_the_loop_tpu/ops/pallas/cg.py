@@ -15,19 +15,50 @@ import os
 
 import jax
 
-_VMEM_BUDGET_BYTES = 8 * 1024 * 1024  # leave headroom in ~16MB VMEM
-_NUM_CG_BUFFERS = 8
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # of the ~16MB scoped-vmem limit
+# Live (H, B*W) field buffers at the loop's peak: 8 kernel operands
+# (b, x0, fluid, me/mw/mn/ms, diag) + output x + loop state (r, pv) + the
+# body's temporaries (ap, the 4 neighbour rolls, and the preconditioner's
+# z / matmul intermediates). 16 matched hardware: the (6, 256, 128) hi-res
+# karman-gen batch compiled to a 17.73M scoped allocation (round-5 queue,
+# runs/logs/k_gen_train.log) where this model predicts 20.2M — the old
+# 8-buffer model predicted 6.3M and let the compile crash the stage.
+_NUM_CG_BUFFERS = 16
+
+
+def _vmem_estimate(shape, batched: bool, precon: bool) -> int:
+    """Bytes of VMEM the selected fused_cg_solve variant keeps live (f32)."""
+    b, h, w = shape
+    field = h * w * 4
+    if batched and b > 1:
+        bw = b * w
+        total = _NUM_CG_BUFFERS * b * field
+        total += bw * bw * 4  # block-diagonal segment-sum ones matrix
+        if precon:
+            total += 2 * bw * bw * 4  # bx, bx.T = kron(I_B, Vx)
+            total += 2 * h * h * 4    # vy, vy.T
+            total += b * field        # invd tiled across the batch
+        return total
+    # per-element grid: one batch block resident at a time
+    total = _NUM_CG_BUFFERS * field
+    if precon:
+        total += 2 * h * h * 4 + 2 * w * w * 4 + field
+    return total
 
 
 def pallas_cg_available(shape, periodic: bool) -> bool:
-    """Whether the fused kernel supports this problem on the current backend."""
+    """Whether the fused kernel supports this problem on the current backend.
+
+    Sizes the variant that pallas_cg_solve would actually dispatch
+    (batched/preconditioned per the hardware-validation markers), so e.g.
+    hi-res data generation (batch 6 at 256x128) falls back to the multigrid
+    path instead of failing the Mosaic compile on scoped-vmem OOM."""
     if jax.default_backend() != "tpu":
         return False
     if periodic:
         return False  # open-boundary karman is the only projection user today
-    b, h, w = shape
-    per_buf = h * w * 4
-    return b * per_buf * _NUM_CG_BUFFERS < _VMEM_BUDGET_BYTES
+    est = _vmem_estimate(shape, _batched_enabled(), _fdpcg_enabled())
+    return est < _VMEM_BUDGET_BYTES
 
 
 # The batched single-instance kernel cuts the sequential CG chain ~Bx on the

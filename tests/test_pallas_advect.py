@@ -89,6 +89,34 @@ def test_gradients_match_xla(monkeypatch, periodic, seed):
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("periodic", [False, True])
+def test_gradients_match_xla_at_exact_integer_offsets(monkeypatch, periodic):
+    """Subgradient-convention regression (hardware validation, round 5):
+    exact-integer offsets make ty = dy - sy hit 0 and +-1 exactly, where
+    lax.abs' subgradient is +1 (not 0) and lax.max averages the tie branches
+    (-0.5*sign). Not measure-zero in practice: the open-boundary clamp's
+    clip(j+dy)-j can round dy to an exact integer in f32 (seen at (3,64,32):
+    dy=-1.9999985 at j=52 snapped to -2.0 and failed the chip validation by
+    2.2e-2 before the kernel matched these conventions)."""
+    b, h, w, m = 2, 12, 8, 2
+    rng = np.random.RandomState(11)
+    values = jnp.asarray(rng.randn(b, h, w), jnp.float32)
+    # every offset an exact integer in [-m-1, m+1]
+    dy = jnp.asarray(rng.randint(-m - 1, m + 2, (b, h, w)), jnp.float32)
+    dx = jnp.asarray(rng.randint(-m - 1, m + 2, (b, h, w)), jnp.float32)
+    cot = jnp.asarray(rng.randn(b, h, w), jnp.float32)
+
+    def grads(arm):
+        monkeypatch.setenv("SILT_PALLAS_ADVECT", arm)
+        f = lambda v, y, x: jnp.sum(
+            interp.shifted_stencil_sample(v, y, x, m, periodic) * cot)
+        return jax.grad(f, argnums=(0, 1, 2))(values, dy, dx)
+
+    for a, e in zip(grads("1"), grads("0")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_dispatch_requires_marker_or_env(monkeypatch, tmp_path):
     monkeypatch.setattr(ak, "_INTERPRET", False)
     monkeypatch.setenv("SILT_PALLAS_ADVECT", "1")

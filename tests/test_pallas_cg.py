@@ -160,3 +160,21 @@ def test_fused_pcg_grid_variant_and_warm_start():
                           precon=True,
                           x0=cold + 0.01 * jnp.asarray(rng.randn(1, 8, 8).astype(np.float32)))
     np.testing.assert_allclose(np.asarray(warm), np.asarray(cold), atol=1e-3)
+
+
+def test_vmem_gate_rejects_hires_batched_pcg(monkeypatch):
+    """Round-5 regression: the (6, 256, 128) hi-res karman-gen batch passed
+    the old 8-buffer VMEM model (6.3MB) but the batched+FD-PCG variant
+    actually compiled to a 17.73M scoped allocation and crashed Mosaic
+    (runs/logs/k_gen_train.log). The gate must size the variant that
+    pallas_cg_solve would dispatch and reject it; training shapes stay in."""
+    from solver_in_the_loop_tpu.ops.pallas import cg as cgmod
+
+    monkeypatch.setattr(cgmod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("SILT_PALLAS_BATCHED", "1")
+    monkeypatch.setenv("SILT_PALLAS_FDPCG", "1")
+    assert not cgmod.pallas_cg_available((6, 256, 128), periodic=False)
+    assert cgmod.pallas_cg_available((3, 64, 32), periodic=False)
+    assert cgmod.pallas_cg_available((8, 64, 32), periodic=False)
+    # estimate model stays conservative vs the one hardware-measured point
+    assert cgmod._vmem_estimate((6, 256, 128), True, True) >= int(17.73 * 2**20)
