@@ -266,7 +266,51 @@ run_stage a3_k_sol08_test -V karman-fdt-sol08-a3/run_test/sim_000004/velTf_00049
 run_stage a3_k_eval_sol08 -V results_full_workload/eval100_sol08_re3840000.json a3_k_sol08_test a3_archive -- bash -c '
   source scripts/round2_queue_lib.sh; k_eval sol08 karman-fdt-sol08-a3/run_test'
 
-# ---- 7. burgers PRE chains (gen is per-sim resumable)
+# ---- 7. quick parity + measurement tail, promoted ahead of the PRE chains
+# (re-exec after the CG-gate/advect fixes: the PRE chains are the longest and
+# least-critical pole, so the lo-res source sets, the post-kernel profile and
+# the headline bench land first if the deadline cuts the pass short).
+run_stage k_lores_set -V karman-fdt-lores-set/sim_000005/velo_000499.npz k_gen_train -- bash -c '
+  for i in 0 1 2 3 4 5; do
+    re=$(( 10000 * (2**(i+4)) ))
+    sim=karman-fdt-lores-set/sim_$(printf "%06d" $i)
+    [ -f $sim/velo_000499.npz ] && continue
+    rm -rf $sim
+    python -u -m solver_in_the_loop_tpu karman-gen -o karman-fdt-lores-set -r 32 -l 100 \
+        --re $re --seed 0 --thumb --skipsteps 0 -t 500 -d 4 \
+        --initdH karman-fdt-hires-set/sim_00000$i/dens_001000.npz \
+        --initvH karman-fdt-hires-set/sim_00000$i/velo_001000.npz || exit 1
+  done'
+run_stage k_lores_testset -V karman-fdt-lores-testset/sim_000004/velo_000499.npz k_gen_test -- bash -c '
+  for i in 0 1 2 3 4; do
+    re=$(( 10000 * (2**(i+3)) * 3 ))
+    sim=karman-fdt-lores-testset/sim_$(printf "%06d" $i)
+    [ -f $sim/velo_000499.npz ] && continue
+    rm -rf $sim
+    python -u -m solver_in_the_loop_tpu karman-gen -o karman-fdt-lores-testset -r 32 -l 100 \
+        --re $re --seed 0 --thumb --skipsteps 0 -t 500 -d 4 \
+        --initdH karman-fdt-hires-testset/sim_00000$i/dens_001000.npz \
+        --initvH karman-fdt-hires-testset/sim_00000$i/velo_001000.npz || exit 1
+  done'
+
+run_stage a3_profile -T 1800 -V runs/profile_r5.log -- bash -c '
+  python -u scripts/profile_step.py --by-name --iters 20 --out runs/profile_r5 \
+    > runs/profile_r5.log 2>&1 || exit 1
+  mkdir -p artifacts/perf && cp -f runs/profile_r5.log artifacts/perf/'
+
+# bench.py measures the SOL-32 train step, which no PRE stage changes, so the
+# "final" capture can safely run here (kernel dispatch state is settled once
+# conv_validate/advect_validate are done).
+run_stage a3_final_bench -V runs/bench_a3_final.json -- bash -c '
+  set -o pipefail
+  SILT_BENCH_WAIT_S=300 python bench.py | tee runs/bench_a3_final.tmp || exit 1
+  grep -q "\"stale\": true" runs/bench_a3_final.tmp && { rm -f runs/bench_a3_final.tmp; exit 1; }
+  mv runs/bench_a3_final.tmp runs/bench_a3_final.json
+  cp -f runs/bench_a3_final.json runs/bench_a3.json
+  cp -f runs/bench_a3_final.json artifacts/bench_a3.json 2>/dev/null; true'
+
+# ---- 8. burgers PRE chains (gen is per-sim resumable; prejm exercises the
+# exact jupiter_moon block, the row VERDICT r4 specifically flagged)
 for i in 0 1 2 3 4 5 6 7 8 9; do
   run_stage "b_pre_sim$i" -T 2400 -V "burgers-fdt-pre-set/sim_$(printf '%06d' $i)/corr_000199.npz" b_gen_train -- bash -c "
     sim=$(printf '%06d' $i)
@@ -294,7 +338,7 @@ run_stage a3_b_pre_jm_test -V burgers-fdt-pre-jm-a3/run_test/sim_000004/velTf_00
 run_stage a3_b_eval_pre_jm -V results_full_workload/eval_burgers_prejm_seed104.json a3_b_pre_jm_test a3_archive -- bash -c '
   source scripts/round2_queue_lib.sh; b_eval prejm burgers-fdt-pre-jm-a3/run_test'
 
-# ---- 8. karman PRE chains (beta=1.0 standard set, then beta=0 PRE-SR)
+# ---- 9. karman PRE chains (beta=1.0 standard set, then beta=0 PRE-SR)
 for i in 0 1 2 3 4 5; do
   re=$(( 10000 * (2**(i+4)) ))
   run_stage "k_pre_sim$i" -T 2400 -V "karman-fdt-pre-set/sim_$(printf '%06d' $i)/corr_001499.npz" -- bash -c "
@@ -330,42 +374,5 @@ run_stage a3_k_presr_test -V karman-fdt-presr-a3/run_test/sim_000004/velTf_00049
   source scripts/round2_queue_lib.sh; pre_run_test karman-fdt-presr-a3/run_test karman-fdt-presr-a3/tf'
 run_stage a3_k_eval_presr -V results_full_workload/eval100_presr_re3840000.json a3_k_presr_test a3_archive -- bash -c '
   source scripts/round2_queue_lib.sh; k_eval presr karman-fdt-presr-a3/run_test'
-
-# ---- 9. parity tail: lo-res source sets, post-conv profile, final bench
-run_stage k_lores_set -V karman-fdt-lores-set/sim_000005/velo_000499.npz k_gen_train -- bash -c '
-  for i in 0 1 2 3 4 5; do
-    re=$(( 10000 * (2**(i+4)) ))
-    sim=karman-fdt-lores-set/sim_$(printf "%06d" $i)
-    [ -f $sim/velo_000499.npz ] && continue
-    rm -rf $sim
-    python -u -m solver_in_the_loop_tpu karman-gen -o karman-fdt-lores-set -r 32 -l 100 \
-        --re $re --seed 0 --thumb --skipsteps 0 -t 500 -d 4 \
-        --initdH karman-fdt-hires-set/sim_00000$i/dens_001000.npz \
-        --initvH karman-fdt-hires-set/sim_00000$i/velo_001000.npz || exit 1
-  done'
-run_stage k_lores_testset -V karman-fdt-lores-testset/sim_000004/velo_000499.npz k_gen_test -- bash -c '
-  for i in 0 1 2 3 4; do
-    re=$(( 10000 * (2**(i+3)) * 3 ))
-    sim=karman-fdt-lores-testset/sim_$(printf "%06d" $i)
-    [ -f $sim/velo_000499.npz ] && continue
-    rm -rf $sim
-    python -u -m solver_in_the_loop_tpu karman-gen -o karman-fdt-lores-testset -r 32 -l 100 \
-        --re $re --seed 0 --thumb --skipsteps 0 -t 500 -d 4 \
-        --initdH karman-fdt-hires-testset/sim_00000$i/dens_001000.npz \
-        --initvH karman-fdt-hires-testset/sim_00000$i/velo_001000.npz || exit 1
-  done'
-
-run_stage a3_profile -T 1800 -V runs/profile_r5.log -- bash -c '
-  python -u scripts/profile_step.py --by-name --iters 20 --out runs/profile_r5 \
-    > runs/profile_r5.log 2>&1 || exit 1
-  mkdir -p artifacts/perf && cp -f runs/profile_r5.log artifacts/perf/'
-
-run_stage a3_final_bench -V runs/bench_a3_final.json -- bash -c '
-  set -o pipefail
-  SILT_BENCH_WAIT_S=300 python bench.py | tee runs/bench_a3_final.tmp || exit 1
-  grep -q "\"stale\": true" runs/bench_a3_final.tmp && { rm -f runs/bench_a3_final.tmp; exit 1; }
-  mv runs/bench_a3_final.tmp runs/bench_a3_final.json
-  cp -f runs/bench_a3_final.json runs/bench_a3.json
-  cp -f runs/bench_a3_final.json artifacts/bench_a3.json 2>/dev/null; true'
 
 note "ROUND5 QUEUE COMPLETE"
