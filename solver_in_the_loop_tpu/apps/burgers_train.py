@@ -56,6 +56,11 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
     p.add_argument("--clip-grad", action=argparse.BooleanOptionalAction, default=True,
                    help="per-leaf grad-norm clip (reference karman_train.py:453); "
                         "protects glorot init's large early unrolled gradients")
+    p.add_argument("--warmup-epochs", type=int, default=0,
+                   help="run the first N epochs at lr/10 (default off: burgers "
+                        "msteps<=4 trains stably at the shipped defaults; the "
+                        "karman msteps=32 CLI defaults this to 1, see "
+                        "karman-train --help)")
     p.add_argument("--resume", type=int, default=-1)
     p.add_argument("--inittf", default=None)
     p.add_argument("--pretf", default=None)
@@ -132,7 +137,7 @@ def run(args):
     cfg = SolTrainConfig(
         msteps=args.msteps, lr=args.lr, epochs=args.epochs, batch_size=args.sbatch,
         adplr=args.adplr, clip_grad=args.clip_grad, remat=not args.no_remat, remat_policy=args.remat_policy,
-        seed=args.seed, dt=args.dt,
+        seed=args.seed, dt=args.dt, warmup_epochs=args.warmup_epochs,
     )
     stats["leaky_alpha"] = args.leaky_alpha  # apply CLIs rebuild with this
     model = build_model(args.model, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,

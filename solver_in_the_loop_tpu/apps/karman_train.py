@@ -64,6 +64,14 @@ def build_parser(parser=None) -> argparse.ArgumentParser:
                    help="per-leaf grad-norm clip (reference karman_train.py:453); "
                         "required for --init reference (diverges in 2 epochs "
                         "without it, BENCH.md 'Init ablation')")
+    p.add_argument("--warmup-epochs", type=int, default=1,
+                   help="run the first N epochs at lr/10. The reference has no "
+                        "warmup, but at its own defaults (LeakyReLU 0.3 + "
+                        "glorot + clip 0.001 + lr 1e-4) the msteps=32 unrolled "
+                        "forward overflows to NaN within ~20 ADAM iterations "
+                        "on this rebuild, with or without clipping (measured, "
+                        "BENCH.md round-5); one epoch at lr/10 descends "
+                        "cleanly. Set 0 to disable.")
     p.add_argument("--resume", type=int, default=-1)
     p.add_argument("--inittf", default=None, help="warm-start checkpoint (msgpack)")
     p.add_argument("--pretf", default=None, help="supervised pre-trained checkpoint")
@@ -127,7 +135,7 @@ def run(args):
     cfg = SolTrainConfig(
         msteps=args.msteps, lr=args.lr, epochs=args.epochs, batch_size=args.sbatch,
         adplr=args.adplr, clip_grad=args.clip_grad, remat=not args.no_remat, remat_policy=args.remat_policy,
-        seed=args.seed,
+        seed=args.seed, warmup_epochs=args.warmup_epochs,
     )
     stats["leaky_alpha"] = args.leaky_alpha  # apply CLIs rebuild with this
     model = build_model(args.model, compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,

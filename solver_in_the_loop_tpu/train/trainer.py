@@ -97,6 +97,20 @@ class SolTrainConfig:
     seed: int = 0
     dt: float = 1.0
     log_every: int = 50
+    # LR warmup: epochs [0, warmup_epochs) run at lr * warmup_scale. The
+    # reference has no warmup (karman_train.py:449-457 feeds a constant lr
+    # placeholder), but at the reference's own defaults — Keras LeakyReLU
+    # alpha=0.3 + glorot init + per-variable clip 0.001 + lr 1e-4 — the
+    # 32-step unrolled forward amplifies the initial net's corrections
+    # ~1.4x/step and the run overflows to NaN within ~20 ADAM iterations on
+    # this rebuild (measured, BENCH.md round-5 "alpha=0.3 stability"); one
+    # epoch at lr/10 descends cleanly (13.5M -> ~700) and hands over a
+    # damped net. Defaults to 0 here; the karman CLI defaults it to 1.
+    warmup_epochs: int = 0
+    warmup_scale: float = 0.1
+    # Skip optimizer updates when any gradient is non-finite instead of
+    # permanently poisoning params + Adam moments (optax.apply_if_finite).
+    guard_nonfinite: bool = True
 
 
 def _remat(fn, policy_name: str = "pressure"):
@@ -127,7 +141,26 @@ def make_optimizer(cfg: SolTrainConfig) -> optax.GradientTransformation:
     if cfg.clip_grad:
         chain.append(clip_by_leaf_norm(0.001))
     chain.append(optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr))
-    return optax.chain(*chain)
+    opt = optax.chain(*chain)
+    if cfg.guard_nonfinite:
+        # a non-finite gradient (e.g. a transient f32 overflow in the unrolled
+        # forward) skips the update instead of writing NaN into params and the
+        # Adam moments forever; set_learning_rate descends through the wrapper
+        opt = optax.apply_if_finite(opt, max_consecutive_errors=100)
+    return opt
+
+
+def notfinite_count(opt_state) -> int:
+    """Total updates skipped by the apply_if_finite guard (0 if unwrapped)."""
+    st = opt_state
+    while isinstance(st, tuple) and hasattr(st, "_fields"):
+        if "total_notfinite" in st._fields:
+            return int(jax.device_get(st.total_notfinite))
+        if "inner_state" in st._fields:
+            st = st.inner_state
+        else:
+            break
+    return 0
 
 
 def _window_gather(arr: jnp.ndarray, sim_idx: jnp.ndarray, frame0: jnp.ndarray, n: int):
@@ -330,7 +363,8 @@ def run_training(
             global_step += idx_epoch.shape[0]
             continue
         current_lr = lr_schedule_step(epoch, current_lr) if cfg.adplr else cfg.lr
-        opt_state = set_learning_rate(opt_state, current_lr)
+        eff_lr = current_lr * (cfg.warmup_scale if epoch < cfg.warmup_epochs else 1.0)
+        opt_state = set_learning_rate(opt_state, eff_lr)
         # async loop: losses stay on device; syncing only every log_every
         # iterations keeps the dispatch pipeline full (a per-iteration
         # float(loss) costs ~2x throughput on the tunnel-attached TPU)
@@ -356,10 +390,14 @@ def run_training(
             if it % cfg.log_every == 0:
                 log.info(
                     "epoch %03d/%03d it %04d/%04d loss=%.6f lr=%.2e",
-                    epoch + 1, cfg.epochs, it + 1, idx_epoch.shape[0], float(loss), current_lr,
+                    epoch + 1, cfg.epochs, it + 1, idx_epoch.shape[0], float(loss), eff_lr,
                 )
         jax.block_until_ready(epoch_losses[-1])
         iter_times.append((time.perf_counter() - t_epoch) / len(epoch_losses))
+        skipped = notfinite_count(opt_state)
+        if skipped:
+            log.warning("epoch %03d: %d non-finite update(s) skipped so far "
+                        "(apply_if_finite guard)", epoch + 1, skipped)
         # ONE device->host transfer for the epoch's losses (per-scalar float()
         # costs a tunnel roundtrip each on the remote-attached TPU)
         step_losses_np = np.asarray(jnp.stack(epoch_step_losses))  # (iters, msteps)
@@ -367,7 +405,7 @@ def run_training(
             losses.append(loss_f)
             if metrics_writer is not None:
                 metrics_writer.scalar("loss", loss_f, global_step)
-                metrics_writer.scalar("lr", current_lr, global_step)
+                metrics_writer.scalar("lr", eff_lr, global_step)
                 if it % cfg.log_every == 0:
                     # per-unrolled-step loss scalars (reference logs each of
                     # the msteps losses, karman_train.py:437-438)

@@ -165,3 +165,54 @@ def test_karman_dataset_roundtrip(tmp_path):
     assert data.v.shape == (2, 4, 9, 4)
     np.testing.assert_allclose(data.re, [160000.0, 320000.0])
     assert data.stats["ext.std"] > 0
+
+
+def test_nonfinite_guard_skips_update():
+    """A NaN gradient must not poison params or the Adam moments; the next
+    finite gradient must apply normally (BENCH.md round-5 alpha=0.3 NaN
+    post-mortem: one overflowed iteration used to end a 100-epoch run)."""
+    from solver_in_the_loop_tpu.train.trainer import notfinite_count
+
+    cfg = SolTrainConfig(lr=1e-3, guard_nonfinite=True)
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.ones(3)}
+    state = opt.init(params)
+
+    bad = {"w": jnp.array([1.0, jnp.nan, 0.0])}
+    upd, state = opt.update(bad, state, params)
+    np.testing.assert_allclose(np.asarray(upd["w"]), 0.0)  # skipped
+    assert notfinite_count(state) == 1
+
+    good = {"w": jnp.ones(3)}
+    upd, state = opt.update(good, state, params)
+    assert np.isfinite(np.asarray(upd["w"])).all()
+    assert float(jnp.abs(upd["w"]).max()) > 0.0
+    assert notfinite_count(state) == 1
+
+
+def test_warmup_epoch_scales_lr(monkeypatch):
+    """fit() must inject lr*warmup_scale for epochs < warmup_epochs and the
+    plain lr afterwards (the karman CLI defaults warmup to 1 epoch)."""
+    from solver_in_the_loop_tpu.train import trainer as trainer_mod
+
+    injected = []
+    real_set = trainer_mod.set_learning_rate
+
+    def spy(state, lr):
+        injected.append(lr)
+        return real_set(state, lr)
+
+    monkeypatch.setattr(trainer_mod, "set_learning_rate", spy)
+
+    cfg = SolTrainConfig(lr=1e-4, epochs=3, warmup_epochs=1, warmup_scale=0.1,
+                         msteps=1, batch_size=1, log_every=1000)
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.ones(2)}
+    opt_state = opt.init(params)
+
+    def fake_step(params, opt_state, data, norm, idx, wgt=None):
+        return params, opt_state, jnp.float32(1.0), jnp.ones((cfg.msteps,))
+
+    sched = EpochSchedule(2, 4, cfg.batch_size, seed=0)
+    trainer_mod.run_training(fake_step, params, opt_state, {}, None, sched, cfg)
+    np.testing.assert_allclose(injected, [1e-5, 1e-4, 1e-4], rtol=1e-6)
