@@ -174,23 +174,14 @@ run_stage a3_k_non_test -V karman-fdt-non-a3/run_test/sim_000004/velTf_000499.np
 run_stage a3_k_eval_non -V results_full_workload/eval100_non_re3840000.json a3_k_non_test -- \
   python -u scripts/cpu_eval_batch.py k_eval non karman-fdt-non-a3/run_test
 
-run_stage k_src_test -V karman-fdt-src/run_test/sim_000004/velTf_000499.npz a3_k_sol32 k_gen_test -- bash -c '
-  source scripts/round2_queue_lib.sh
-  k_run_test karman-fdt-src/run_test karman-fdt-sol32-a3/tf/model.msgpack karman-fdt-sol32-a3/tf/dataStats.json --no-model'
-run_stage k_eval_src -V results_full_workload/eval100_src_re3840000.json k_src_test -- \
-  python -u scripts/cpu_eval_batch.py k_eval src karman-fdt-src/run_test
+# NOTE: no k_src re-run — the source-solver row is model-free (`--no-model`
+# ignores the net and the stats), so the round-4 eval_src/eval100_src numbers
+# are already the a3 numbers: same seeds, same deterministic data regen,
+# alpha never enters. Documented in BENCH.md.
 
-train_stage a3_k_sol08 karman-fdt-sol08-a3/tf a3_k_sol32 -- \
-  $PY karman-train --tf karman-fdt-sol08-a3/tf --log karman-fdt-sol08-a3/tf/run.log \
-      --epochs 100 --lr 0.0001 -l 100 -t 500 -s 4 -m 8 -n 6 -b 3 --seed 0 \
-      --train karman-fdt-hires-set --skip-ds
-run_stage a3_k_sol08_test -V karman-fdt-sol08-a3/run_test/sim_000004/velTf_000499.npz a3_k_sol08 k_gen_test -- bash -c '
-  source scripts/round2_queue_lib.sh
-  k_run_test karman-fdt-sol08-a3/run_test karman-fdt-sol08-a3/tf/model.msgpack karman-fdt-sol08-a3/tf/dataStats.json'
-run_stage a3_k_eval_sol08 -V results_full_workload/eval100_sol08_re3840000.json a3_k_sol08_test -- \
-  python -u scripts/cpu_eval_batch.py k_eval sol08 karman-fdt-sol08-a3/run_test
-
-# ---- 5. burgers NON seed-2 (completes the 3-seed multi-seed adjudication)
+# ---- 5. burgers NON seed-2 (completes the 3-seed multi-seed adjudication;
+# runs BEFORE the SOL-08 retrain so a deadline cut cannot leave the
+# SOL-vs-NON adjudication at n=2)
 run_stage b_gen_train -T 5400 -V burgers-fdt-hires-set/sim_000009/velo_000199.npz -- bash -c '
   for i in 0 1 2 3 4 5 6 7 8 9; do
     sim=burgers-fdt-hires-set/sim_$(printf "%06d" $i)
@@ -220,6 +211,17 @@ run_stage a3_b_non_s2_test -V burgers-fdt-non-a3s2/run_test/sim_000004/velTf_000
   b_run_test burgers-fdt-non-a3s2/run_test burgers-fdt-non-a3s2/tf/model.msgpack burgers-fdt-non-a3s2/tf/dataStats.json'
 run_stage a3_b_eval_non_s2 -V results_full_workload/eval_burgers_non_s2_seed104.json a3_b_non_s2_test -- \
   python -u scripts/cpu_eval_batch.py b_eval non_s2 burgers-fdt-non-a3s2/run_test
+
+# ---- 5b. karman SOL-08 retrain (after the burgers adjudication)
+train_stage a3_k_sol08 karman-fdt-sol08-a3/tf a3_k_sol32 -- \
+  $PY karman-train --tf karman-fdt-sol08-a3/tf --log karman-fdt-sol08-a3/tf/run.log \
+      --epochs 100 --lr 0.0001 -l 100 -t 500 -s 4 -m 8 -n 6 -b 3 --seed 0 \
+      --train karman-fdt-hires-set --skip-ds
+run_stage a3_k_sol08_test -V karman-fdt-sol08-a3/run_test/sim_000004/velTf_000499.npz a3_k_sol08 k_gen_test -- bash -c '
+  source scripts/round2_queue_lib.sh
+  k_run_test karman-fdt-sol08-a3/run_test karman-fdt-sol08-a3/tf/model.msgpack karman-fdt-sol08-a3/tf/dataStats.json'
+run_stage a3_k_eval_sol08 -V results_full_workload/eval100_sol08_re3840000.json a3_k_sol08_test -- \
+  python -u scripts/cpu_eval_batch.py k_eval sol08 karman-fdt-sol08-a3/run_test
 
 # ---- 6. post-kernel step profile (guides the next op-count lever)
 run_stage a3_profile -T 1800 -V runs/profile_r5.log -- bash -c '
